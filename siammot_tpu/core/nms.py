@@ -1,0 +1,97 @@
+"""Fixed-shape greedy NMS.
+
+Exact re-implementation of maskrcnn-benchmark's ``nms`` kernel semantics
+(``csrc/nms.cu``: score-descending greedy suppression with the +1 IoU
+convention, used via ``boxlist_nms`` in the reference's RPN patch
+``rpn_patch.py:53-58``, box-head post-processing ``box_head/inference.py:174``
+and track solver ``track_solver.py:22``) — but as a static-shape JAX
+program over padded box sets.
+
+Algorithm: instead of a serial N-step greedy scan, run a convergent
+round-based fixed-point iteration.  Per round every box whose
+higher-scored overlapping boxes are all decided becomes decided, and
+boxes overlapping an already-kept box are killed.  Each round decides at
+least the first undecided box, so the ``lax.while_loop`` terminates in at
+most N rounds and in practice in a handful; each round is two [N]x[N,N]
+mat-vec products that map onto the MXU.  The fixed point equals the
+serial greedy result exactly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import box_iou
+
+NEG_INF = -1e10
+
+
+def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
+             iou_threshold: float, max_out: int | None = None) -> jnp.ndarray:
+    """Greedy NMS over a padded box set.
+
+    Args:
+      boxes: [N, 4] xyxy.
+      scores: [N] float.
+      valid: [N] bool — padding mask; invalid boxes never kept.
+      iou_threshold: suppression threshold (IoU > threshold suppresses).
+      max_out: optionally keep only the top-k surviving boxes by score.
+
+    Returns:
+      keep: [N] bool in the *original* order.
+    """
+    n = boxes.shape[0]
+    masked_scores = jnp.where(valid, scores, NEG_INF)
+    # stable descending sort (ties broken by original index, like torch.sort)
+    order = jnp.argsort(-masked_scores, stable=True)
+    sboxes = boxes[order]
+    svalid = valid[order]
+
+    iou = box_iou(sboxes, sboxes)
+    tri = jnp.tril(jnp.ones((n, n), dtype=bool), k=-1)  # tri[j, i]: j before i
+    # overlap[j, i] = True if earlier box j suppresses later box i
+    overlap = (iou > iou_threshold) & tri.T
+    overlap_f = overlap.astype(jnp.float32)
+
+    decided0 = ~svalid
+    keep0 = jnp.zeros((n,), dtype=bool)
+
+    def cond(state):
+        decided, _ = state
+        return ~jnp.all(decided)
+
+    def body(state):
+        decided, keep = state
+        undecided = (~decided).astype(jnp.float32)
+        kept = keep.astype(jnp.float32)
+        # box i still blocked if an undecided earlier box overlaps it
+        blocked = (undecided @ overlap_f) > 0.5
+        # box i killed if any kept earlier box overlaps it
+        killed = (kept @ overlap_f) > 0.5
+        can_decide = ~decided & (~blocked | killed)
+        new_keep = keep | (can_decide & ~killed)
+        new_decided = decided | can_decide
+        return new_decided, new_keep
+
+    _, keep_sorted = jax.lax.while_loop(cond, body, (decided0, keep0))
+
+    if max_out is not None and max_out < n:
+        rank = jnp.cumsum(keep_sorted.astype(jnp.int32)) - 1
+        keep_sorted = keep_sorted & (rank < max_out)
+
+    # scatter back to original order
+    keep = jnp.zeros((n,), dtype=bool).at[order].set(keep_sorted)
+    return keep
+
+
+def batched_nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray,
+                     valid: jnp.ndarray, idxs: jnp.ndarray,
+                     iou_threshold: float,
+                     max_out: int | None = None) -> jnp.ndarray:
+    """Category-aware NMS: boxes with different ``idxs`` never suppress
+    each other (torchvision ``batched_nms`` offset trick)."""
+    max_coord = jnp.max(jnp.where(valid[:, None], boxes, 0.0))
+    offsets = idxs.astype(boxes.dtype) * (max_coord + 1024.0)
+    shifted = boxes + offsets[:, None]
+    return nms_mask(shifted, scores, valid, iou_threshold, max_out)

@@ -1,0 +1,227 @@
+"""Deep Layer Aggregation backbone family (DLA-34 … DLA-169).
+
+TPU-native re-implementation of the reference backbone
+(``/root/reference/siammot/modelling/backbone/dla.py``): NHWC layout,
+bfloat16-friendly convs, and FrozenBatchNorm realised as a per-channel
+affine ``scale``/``bias`` pair (``scale = gamma / sqrt(running_var)``,
+``bias = beta - running_mean * scale`` — folded at checkpoint-conversion
+time, matching maskrcnn ``FrozenBatchNorm2d`` which uses no eps).
+
+The recursive ``DlaTree`` aggregation (reference ``dla.py:192-239``) is
+built by Python recursion at trace time, flattening into a static DAG for
+XLA.  Returns the four feature levels at strides 4/8/16/32
+(reference ``dla.py:289-304``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class FrozenBN(nn.Module):
+    """Per-channel affine with gradients stopped (maskrcnn FrozenBatchNorm2d)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        scale = jax.lax.stop_gradient(scale).astype(x.dtype)
+        bias = jax.lax.stop_gradient(bias).astype(x.dtype)
+        return x * scale + bias
+
+
+def conv(features, kernel, stride=1, dilation=1, groups=1, bias=False,
+         name=None):
+    pad = dilation * (kernel - 1) // 2
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=((pad, pad), (pad, pad)),
+                   kernel_dilation=(dilation, dilation),
+                   feature_group_count=groups, use_bias=bias, name=name)
+
+
+class BasicBlock(nn.Module):
+    """DLA basic block: two 3x3 convs + residual (reference dla.py:30-57)."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x, residual=None):
+        if residual is None:
+            residual = x
+        out = conv(self.planes, 3, self.stride, self.dilation, name="conv1")(x)
+        out = FrozenBN(self.planes, name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(self.planes, 3, 1, self.dilation, name="conv2")(out)
+        out = FrozenBN(self.planes, name="bn2")(out)
+        return nn.relu(out + residual)
+
+
+class Bottleneck(nn.Module):
+    """DLA bottleneck (reference dla.py:60-105): 1x1 -> 3x3 -> 1x1."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    cardinality: int = 1
+    base_width: int = 64
+    expansion: int = 2
+
+    @nn.compact
+    def __call__(self, x, residual=None):
+        if residual is None:
+            residual = x
+        mid = int(math.floor(self.planes * (self.base_width / 64))
+                  * self.cardinality) // self.expansion
+        out = conv(mid, 1, name="conv1")(x)
+        out = nn.relu(FrozenBN(mid, name="bn1")(out))
+        out = conv(mid, 3, self.stride, self.dilation,
+                   groups=self.cardinality, name="conv2")(out)
+        out = nn.relu(FrozenBN(mid, name="bn2")(out))
+        out = conv(self.planes, 1, name="conv3")(out)
+        out = FrozenBN(self.planes, name="bn3")(out)
+        return nn.relu(out + residual)
+
+
+class Root(nn.Module):
+    """Aggregation node: 1x1 conv over concat(children) (dla.py:172-189)."""
+
+    features: int
+    residual: bool
+
+    @nn.compact
+    def __call__(self, *children):
+        x = jnp.concatenate(children, axis=-1)
+        x = conv(self.features, 1, name="conv")(x)
+        x = FrozenBN(self.features, name="bn")(x)
+        if self.residual:
+            x = x + children[0]
+        return nn.relu(x)
+
+
+class Tree(nn.Module):
+    """Recursive DLA tree (reference dla.py:192-239)."""
+
+    levels: int
+    block: Any
+    in_channels: int
+    out_channels: int
+    stride: int = 1
+    level_root: bool = False
+    root_dim: int = 0
+    root_residual: bool = False
+    block_kwargs: dict | None = None
+
+    @nn.compact
+    def __call__(self, x, children=None):
+        bk = self.block_kwargs or {}
+        root_dim = self.root_dim
+        if root_dim == 0:
+            root_dim = 2 * self.out_channels
+        if self.level_root:
+            root_dim += self.in_channels
+
+        children = [] if children is None else children
+        bottom = (nn.max_pool(x, (self.stride, self.stride),
+                              strides=(self.stride, self.stride))
+                  if self.stride > 1 else x)
+        if self.in_channels != self.out_channels:
+            residual = conv(self.out_channels, 1, name="project_conv")(bottom)
+            residual = FrozenBN(self.out_channels, name="project_bn")(residual)
+        else:
+            residual = bottom
+        if self.level_root:
+            children.append(bottom)
+
+        if self.levels == 1:
+            x1 = self.block(self.out_channels, self.stride, name="tree1", **bk)(
+                x, residual)
+            x2 = self.block(self.out_channels, 1, name="tree2", **bk)(x1)
+            return Root(self.out_channels, self.root_residual, name="root")(
+                x2, x1, *children)
+
+        x1 = Tree(self.levels - 1, self.block, self.in_channels,
+                  self.out_channels, self.stride,
+                  root_residual=self.root_residual, block_kwargs=bk,
+                  name="tree1")(x)
+        children.append(x1)
+        return Tree(self.levels - 1, self.block, self.out_channels,
+                    self.out_channels, 1, root_dim=root_dim + self.out_channels,
+                    root_residual=self.root_residual, block_kwargs=bk,
+                    name="tree2")(x1, children=children)
+
+
+class DLA(nn.Module):
+    """DLA feature extractor returning strides 4/8/16/32 maps."""
+
+    levels: Sequence[int]
+    channels: Sequence[int]
+    block: Any = BasicBlock
+    residual_root: bool = False
+    block_kwargs: dict | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        ch = self.channels
+        bk = self.block_kwargs or {}
+
+        x = conv(ch[0], 7, 1, name="base_conv")(x)
+        x = nn.relu(FrozenBN(ch[0], name="base_bn")(x))
+
+        def conv_level(x, planes, convs, stride, name):
+            for i in range(convs):
+                x = conv(planes, 3, stride if i == 0 else 1,
+                         name=f"{name}_conv{i}")(x)
+                x = nn.relu(FrozenBN(planes, name=f"{name}_bn{i}")(x))
+            return x
+
+        x0 = conv_level(x, ch[0], self.levels[0], 1, "level0")
+        x1 = conv_level(x0, ch[1], self.levels[1], 2, "level1")
+        x2 = Tree(self.levels[2], self.block, ch[1], ch[2], 2,
+                  root_residual=self.residual_root, block_kwargs=bk,
+                  name="level2")(x1)
+        x3 = Tree(self.levels[3], self.block, ch[2], ch[3], 2, level_root=True,
+                  root_residual=self.residual_root, block_kwargs=bk,
+                  name="level3")(x2)
+        x4 = Tree(self.levels[4], self.block, ch[3], ch[4], 2, level_root=True,
+                  root_residual=self.residual_root, block_kwargs=bk,
+                  name="level4")(x3)
+        x5 = Tree(self.levels[5], self.block, ch[4], ch[5], 2, level_root=True,
+                  root_residual=self.residual_root, block_kwargs=bk,
+                  name="level5")(x4)
+        return [x2, x3, x4, x5]
+
+
+# variants (reference dla.py:307-374)
+DLA_VARIANTS = {
+    "DLA-34-FPN": dict(levels=(1, 1, 1, 2, 2, 1),
+                       channels=(16, 32, 64, 128, 256, 512), block=BasicBlock),
+    "DLA-46-C-FPN": dict(levels=(1, 1, 1, 2, 2, 1),
+                         channels=(16, 32, 64, 64, 128, 256), block=Bottleneck),
+    "DLA-46-XC-FPN": dict(levels=(1, 1, 1, 2, 2, 1),
+                          channels=(16, 32, 64, 64, 128, 256), block=Bottleneck,
+                          block_kwargs=dict(cardinality=32, base_width=4)),
+    "DLA-60-FPN": dict(levels=(1, 1, 1, 2, 3, 1),
+                       channels=(16, 32, 128, 256, 512, 1024), block=Bottleneck),
+    "DLA-102-FPN": dict(levels=(1, 1, 1, 3, 4, 1),
+                        channels=(16, 32, 128, 256, 512, 1024), block=Bottleneck,
+                        residual_root=True),
+    "DLA-169-FPN": dict(levels=(1, 1, 2, 3, 5, 1),
+                        channels=(16, 32, 128, 256, 512, 1024), block=Bottleneck,
+                        residual_root=True),
+}
+
+
+def build_dla(conv_body: str) -> DLA:
+    if conv_body not in DLA_VARIANTS:
+        raise KeyError(f"unknown backbone {conv_body}; "
+                       f"choices: {sorted(DLA_VARIANTS)}")
+    return DLA(**DLA_VARIANTS[conv_body])

@@ -1,0 +1,244 @@
+"""Region Proposal Network.
+
+TPU-native replacement for the external maskrcnn RPN the reference uses
+(``rcnn.py:9,30``) together with the amodal post-processing patch
+(``operator_patch/rpn_patch.py:9-90``): anchors follow the classic
+Detectron rounding formulas, the head is a shared 3x3 conv tower, and
+proposal selection is a fixed-shape pipeline (per-level top-k -> masked
+NMS -> cross-level top-k) that stays entirely on device.  With
+``amodal=True`` proposals are *not* clipped to the image, reproducing the
+reference's MOT17 patch (``rpn_patch.py:48-52``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import boxes as box_ops
+from ..core.matcher import match_targets, balanced_sample
+from ..core.nms import nms_mask
+from ..core.structures import Boxes
+
+
+# ---------------------------------------------------------------------------
+# Anchors (Detectron generate_anchors semantics: round() of sqrt ratios)
+# ---------------------------------------------------------------------------
+
+def base_anchors(stride: int, size: int, aspect_ratios: Sequence[float]) -> np.ndarray:
+    """Per-cell anchors for one FPN level, [A, 4] xyxy centered on cell 0."""
+    base = np.array([0.0, 0.0, stride - 1.0, stride - 1.0])
+    w = base[2] - base[0] + 1
+    h = base[3] - base[1] + 1
+    cx = base[0] + 0.5 * (w - 1)
+    cy = base[1] + 0.5 * (h - 1)
+    area = w * h
+
+    out = []
+    scale = size / stride
+    for r in aspect_ratios:
+        ws = np.round(np.sqrt(area / r))
+        hs = np.round(ws * r)
+        ws, hs = ws * scale, hs * scale
+        out.append([cx - 0.5 * (ws - 1), cy - 0.5 * (hs - 1),
+                    cx + 0.5 * (ws - 1), cy + 0.5 * (hs - 1)])
+    return np.asarray(out, np.float32)
+
+
+def grid_anchors(feat_hw, stride: int, cell_anchors: np.ndarray) -> np.ndarray:
+    """All anchors for one level, [(H*W*A), 4] in (y, x, a) order — matching
+    maskrcnn's ``permute_and_flatten`` layout."""
+    h, w = feat_hw
+    sx = np.arange(w, dtype=np.float32) * stride
+    sy = np.arange(h, dtype=np.float32) * stride
+    shift_x, shift_y = np.meshgrid(sx, sy)
+    shifts = np.stack([shift_x, shift_y, shift_x, shift_y], -1).reshape(-1, 1, 4)
+    return (shifts + cell_anchors[None]).reshape(-1, 4)
+
+
+# ---------------------------------------------------------------------------
+# Head
+# ---------------------------------------------------------------------------
+
+class RPNHead(nn.Module):
+    """Shared conv tower: 3x3 + ReLU, then 1x1 objectness / 1x1 deltas."""
+
+    num_anchors: int
+
+    @nn.compact
+    def __call__(self, features):
+        conv = nn.Conv(features[0].shape[-1], (3, 3), padding=1,
+                       kernel_init=nn.initializers.normal(0.01), name="conv")
+        cls = nn.Conv(self.num_anchors, (1, 1),
+                      kernel_init=nn.initializers.normal(0.01), name="cls_logits")
+        reg = nn.Conv(self.num_anchors * 4, (1, 1),
+                      kernel_init=nn.initializers.normal(0.01), name="bbox_pred")
+        logits, deltas = [], []
+        for f in features:
+            t = nn.relu(conv(f))
+            logits.append(cls(t))
+            deltas.append(reg(t))
+        return logits, deltas
+
+
+# ---------------------------------------------------------------------------
+# Proposal selection (fixed shape)
+# ---------------------------------------------------------------------------
+
+@flax.struct.dataclass
+class RPNConfig:
+    anchor_strides: tuple
+    anchor_sizes: tuple
+    aspect_ratios: tuple
+    pre_nms_top_n: int
+    post_nms_top_n: int
+    fpn_post_nms_top_n: int
+    nms_thresh: float
+    min_size: int
+    amodal: bool
+    straddle_thresh: float = 0.0
+    fg_iou: float = 0.7
+    bg_iou: float = 0.3
+    batch_per_image: int = 256
+    positive_fraction: float = 0.5
+
+    @staticmethod
+    def from_cfg(cfg, is_train: bool) -> "RPNConfig":
+        r = cfg.MODEL.RPN
+        return RPNConfig(
+            anchor_strides=tuple(r.ANCHOR_STRIDE),
+            anchor_sizes=tuple(r.ANCHOR_SIZES),
+            aspect_ratios=tuple(r.ASPECT_RATIOS),
+            pre_nms_top_n=r.PRE_NMS_TOP_N_TRAIN if is_train else r.PRE_NMS_TOP_N_TEST,
+            post_nms_top_n=r.POST_NMS_TOP_N_TRAIN if is_train else r.POST_NMS_TOP_N_TEST,
+            fpn_post_nms_top_n=(r.FPN_POST_NMS_TOP_N_TRAIN if is_train
+                                else r.FPN_POST_NMS_TOP_N_TEST),
+            nms_thresh=r.NMS_THRESH,
+            min_size=r.MIN_SIZE,
+            amodal=bool(cfg.INPUT.AMODAL),
+            straddle_thresh=float(r.STRADDLE_THRESH),
+            fg_iou=r.FG_IOU_THRESHOLD,
+            bg_iou=r.BG_IOU_THRESHOLD,
+            batch_per_image=r.BATCH_SIZE_PER_IMAGE,
+            positive_fraction=r.POSITIVE_FRACTION,
+        )
+
+
+def _select_level(objectness, deltas, anchors, image_size, rcfg: RPNConfig):
+    """One level, one image: top-k, decode, clip, small-box filter, NMS.
+
+    objectness: [HWA] logits; deltas: [HWA, 4]; anchors: [HWA, 4].
+    Returns (boxes [K,4], scores [K], keep [K]) with K = pre_nms_top_n.
+    """
+    hwa = objectness.shape[0]
+    k = min(rcfg.pre_nms_top_n, hwa)
+    scores = jax.nn.sigmoid(objectness)
+    top_scores, idx = jax.lax.top_k(scores, k)
+    proposals = box_ops.decode(deltas[idx], anchors[idx])
+    if not rcfg.amodal:
+        proposals = box_ops.clip_to_image(proposals, image_size)
+    keep = box_ops.min_size_mask(proposals, rcfg.min_size)
+    keep = nms_mask(proposals, top_scores, keep, rcfg.nms_thresh,
+                    max_out=rcfg.post_nms_top_n)
+    return proposals, top_scores, keep
+
+
+def select_proposals(logits, deltas, anchors_per_level, image_size,
+                     rcfg: RPNConfig):
+    """Full RPN proposal selection for a batch.
+
+    Args:
+      logits: list of [N, H, W, A] per level.
+      deltas: list of [N, H, W, A*4].
+      anchors_per_level: list of [H*W*A, 4] arrays.
+      image_size: (w, h) of the network input.
+
+    Returns (boxes [N, K, 4], objectness [N, K], valid [N, K]) with
+    K = fpn_post_nms_top_n, per-image top-k semantics (test path).
+    """
+    all_boxes, all_scores, all_keep = [], [], []
+    for lg, dl, anch in zip(logits, deltas, anchors_per_level):
+        n, h, w, a = lg.shape
+        obj = lg.reshape(n, h * w * a)
+        dlt = dl.reshape(n, h * w * a, 4)
+        fn = jax.vmap(partial(_select_level, image_size=image_size, rcfg=rcfg),
+                      in_axes=(0, 0, None))
+        bx, sc, kp = fn(obj, dlt, anch)
+        all_boxes.append(bx)
+        all_scores.append(sc)
+        all_keep.append(kp)
+
+    boxes = jnp.concatenate(all_boxes, axis=1)
+    scores = jnp.concatenate(all_scores, axis=1)
+    keep = jnp.concatenate(all_keep, axis=1)
+
+    k = min(rcfg.fpn_post_nms_top_n, boxes.shape[1])
+    masked = jnp.where(keep, scores, -jnp.inf)
+    top, idx = jax.lax.top_k(masked, k)
+    sel_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+    sel_scores = jnp.take_along_axis(scores, idx, axis=1)
+    sel_valid = jnp.take_along_axis(keep, idx, axis=1)
+    return sel_boxes, sel_scores, sel_valid
+
+
+# ---------------------------------------------------------------------------
+# Loss (maskrcnn RPNLossComputation semantics)
+# ---------------------------------------------------------------------------
+
+def smooth_l1(x, beta):
+    ax = jnp.abs(x)
+    return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
+
+
+def rpn_loss(rng, logits, deltas, anchors_per_level, gt: Boxes,
+             image_size, rcfg: RPNConfig):
+    """RPN objectness + box loss for ONE image over all anchors.
+
+    gt: padded Boxes of ground truth.
+    Returns dict(loss_objectness, loss_rpn_box_reg) — caller averages over
+    the batch.
+    """
+    anchors = jnp.concatenate(
+        [jnp.asarray(a) for a in anchors_per_level], axis=0)  # [T, 4]
+    obj = jnp.concatenate([l.reshape(-1) for l in logits])       # [T]
+    dlt = jnp.concatenate([d.reshape(-1, 4) for d in deltas])    # [T, 4]
+
+    # anchor visibility (straddle_thresh = 0: fully inside image)
+    w, h = image_size
+    st = rcfg.straddle_thresh
+    visible = ((anchors[:, 0] >= -st) & (anchors[:, 1] >= -st)
+               & (anchors[:, 2] < w + st) & (anchors[:, 3] < h + st))
+
+    quality = box_ops.box_iou(gt.boxes, anchors)
+    matches = match_targets(quality, gt.valid, jnp.ones_like(visible),
+                            rcfg.fg_iou, rcfg.bg_iou,
+                            allow_low_quality_matches=True)
+
+    labels = (matches >= 0).astype(jnp.float32)
+    discard = (matches == -2) | ~visible
+    pos_mask = (matches >= 0) & ~discard
+    neg_mask = (matches == -1) & ~discard
+
+    sampled_pos, sampled_neg = balanced_sample(
+        rng, pos_mask, neg_mask, rcfg.batch_per_image, rcfg.positive_fraction)
+    sampled = sampled_pos | sampled_neg
+    num_sampled = jnp.maximum(jnp.sum(sampled), 1)
+
+    matched_gt = gt.boxes[jnp.clip(matches, 0)]
+    reg_targets = box_ops.encode(matched_gt, anchors)
+    box_l = jnp.sum(
+        jnp.where(sampled_pos[:, None], smooth_l1(dlt - reg_targets, 1.0 / 9), 0.0)
+    ) / num_sampled
+
+    logp = jax.nn.log_sigmoid(obj)
+    logn = jax.nn.log_sigmoid(-obj)
+    bce = -(labels * logp + (1 - labels) * logn)
+    obj_l = jnp.sum(jnp.where(sampled, bce, 0.0)) / num_sampled
+
+    return {"loss_objectness": obj_l, "loss_rpn_box_reg": box_l}

@@ -1,0 +1,38 @@
+"""Depthwise cross-correlation.
+
+TPU-native equivalent of the reference's ``xcorr_depthwise``
+(``EMM/xcorr.py:37-46``), which reshapes a [B, C, Hs, Ws] search-region
+stack into a groups=B*C conv2d.  Grouped conv with singleton channels is a
+poor fit for the MXU; here the op is a channels-last shift-and-MAC: the
+template slides over the search region as Ht*Wt fused multiply-adds over
+[B, Ho, Wo, C] tiles, which the VPU executes with C=128 lanes at full
+width.  A fused Pallas kernel (``ops/pallas/xcorr.py``) implements the same
+contraction with the search region resident in VMEM; this module provides
+the pure-XLA reference used as fallback and in tests.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def xcorr_depthwise(search: jnp.ndarray, template: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise (per-sample, per-channel) cross-correlation.
+
+    Args:
+      search: [B, Hs, Ws, C] search-region features (NHWC).
+      template: [B, Ht, Wt, C] template features.
+
+    Returns:
+      [B, Hs-Ht+1, Ws-Wt+1, C] response map (valid correlation).
+    """
+    b, hs, ws, c = search.shape
+    _, ht, wt, _ = template.shape
+    ho, wo = hs - ht + 1, ws - wt + 1
+
+    acc = jnp.zeros((b, ho, wo, c), dtype=jnp.float32)
+    for i in range(ht):
+        for j in range(wt):
+            window = jnp.asarray(search[:, i:i + ho, j:j + wo, :], jnp.float32)
+            acc = acc + window * template[:, i, j, None, None, :].astype(jnp.float32)
+    return acc.astype(search.dtype)
