@@ -1,0 +1,303 @@
+"""EMM (Explicit Motion Model) Siamese track head.
+
+TPU-native rebuild of the reference EMM tracker
+(``/root/reference/siammot/modelling/track_head/EMM/track_core.py:15-225``,
+``feature_extractor.py:9-68``) over *static padded track slots*:
+
+  * template crops: 15x15 ROIAlign at the track box; search-region crops:
+    30x30 ROIAlign at the SEARCH_REGION-expanded box in virtually padded
+    coordinates (the reference's physical ``pad_feature`` is replaced by
+    the pad-aware gather in ``ops/roi_align.py``) — the FPN level is always
+    chosen by the *template* box (``sr_pool.py:73-74``);
+  * depthwise cross-correlation (``ops/xcorr.py``) + conv towers with
+    GroupNorm produce 2-ch cls / 1-ch centerness / 4-ch (l,t,r,b) maps;
+  * inference decodes the x16-bicubic-upsampled maps with scale and Hann
+    cosine-window penalties and a per-slot argmax, entirely on device.
+
+Invalid slots ride along as masked lanes; no host sync anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import boxes as box_ops
+from ..ops.roi_align import (map_rois_to_levels, multilevel_roi_align,
+                             multilevel_roi_align_batched)
+from ..ops.upsample import upsample_bicubic
+from ..ops.xcorr import xcorr_depthwise
+
+
+@flax.struct.dataclass
+class EMMConfig:
+    resolution: int            # template size (15)
+    scales: tuple              # pooler scales
+    sampling_ratio: int
+    search_region: float       # SR box = box extended by (search_region - 1)
+    min_search_wh: float
+    pad_pixels: int
+    use_centerness: bool
+    cosine_window_weight: float
+    cls_pos_region: float
+    track_loss_weight: float
+    amodal: bool
+
+    @property
+    def sr_size(self) -> int:
+        return int(self.resolution * self.search_region)
+
+    @property
+    def response_size(self) -> int:
+        return self.sr_size - self.resolution + 1
+
+    @staticmethod
+    def from_cfg(cfg) -> "EMMConfig":
+        t = cfg.MODEL.TRACK_HEAD
+        return EMMConfig(
+            resolution=t.POOLER_RESOLUTION,
+            scales=tuple(t.POOLER_SCALES),
+            sampling_ratio=t.POOLER_SAMPLING_RATIO,
+            search_region=t.SEARCH_REGION,
+            min_search_wh=t.MINIMUM_SREACH_REGION,
+            pad_pixels=t.PAD_PIXELS,
+            use_centerness=t.EMM.USE_CENTERNESS,
+            cosine_window_weight=t.EMM.COSINE_WINDOW_WEIGHT,
+            cls_pos_region=t.EMM.CLS_POS_REGION,
+            track_loss_weight=t.EMM.TRACK_LOSS_WEIGHT,
+            amodal=bool(cfg.INPUT.AMODAL),
+        )
+
+
+class EMMPredictor(nn.Module):
+    """cls/reg conv towers over the correlation response
+    (reference ``feature_extractor.py:43-68``): 3x3 conv + GN(32) + ReLU
+    towers, then 3x3 heads for 2-ch cls, 1-ch centerness, 4-ch regression
+    (ReLU-clamped)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        def conv3(f, name):
+            return nn.Conv(f, (3, 3), padding=1,
+                           kernel_init=nn.initializers.normal(0.01),
+                           name=name)
+
+        cls_x = conv3(self.channels, "cls_tower_conv")(x)
+        cls_x = nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                     name="cls_tower_gn")(cls_x))
+        reg_x = conv3(self.channels, "reg_tower_conv")(x)
+        reg_x = nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                     name="reg_tower_gn")(reg_x))
+        cls_logits = conv3(2, "cls")(cls_x)
+        center_logits = conv3(1, "center")(cls_x)
+        reg_logits = nn.relu(conv3(4, "reg")(reg_x))
+        return cls_logits, center_logits, reg_logits
+
+
+class EMMHead(nn.Module):
+    """Parameters of the EMM head (the predictor); pooling/xcorr/decoding
+    are pure functions below."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, sr_features, template_features):
+        response = xcorr_depthwise(sr_features, template_features)
+        return EMMPredictor(self.channels, name="predictor")(response)
+
+
+# ---------------------------------------------------------------------------
+# Pooling (the SRPooler semantics)
+# ---------------------------------------------------------------------------
+
+def pool_template(features, boxes, img_idx, ecfg: EMMConfig):
+    """15x15 template crops at track boxes (unpadded coords)."""
+    levels = map_rois_to_levels(boxes, 2, 2 + len(ecfg.scales) - 1)
+    return multilevel_roi_align_batched(
+        features, boxes, img_idx, levels, ecfg.resolution, ecfg.scales,
+        ecfg.sampling_ratio)
+
+
+def pool_search_region(features, template_boxes, sr_boxes, img_idx,
+                       ecfg: EMMConfig):
+    """30x30 SR crops: level from the template box, crop from the SR box in
+    padded coords (``sr_pool.py:64-74``)."""
+    levels = map_rois_to_levels(template_boxes, 2, 2 + len(ecfg.scales) - 1)
+    return multilevel_roi_align_batched(
+        features, sr_boxes, img_idx, levels, ecfg.sr_size, ecfg.scales,
+        ecfg.sampling_ratio, pad_pixels=ecfg.pad_pixels)
+
+
+def make_search_region(boxes: jnp.ndarray, ecfg: EMMConfig) -> jnp.ndarray:
+    """Padded-coordinate SR boxes from track boxes (reference
+    ``extract_cache``: shift by PAD_PIXELS then ``extend_bbox``)."""
+    padded = boxes + ecfg.pad_pixels
+    return box_ops.extend_box(padded, ecfg.search_region - 1.0,
+                              ecfg.min_search_wh)
+
+
+# ---------------------------------------------------------------------------
+# Locations + decode (reference track_core.py:101-225)
+# ---------------------------------------------------------------------------
+
+def response_locations(sr_boxes: jnp.ndarray, sr_size: int, template_size: int,
+                       pad_pixels: int, up_scale: int) -> jnp.ndarray:
+    """Image-space (x, y) of every response-map cell, [K, L, 2].
+
+    The SR feature grid spans the SR box with stride (sr_extent)/(S*up - 1);
+    the valid-correlation crop drops floor(T/2)*up cells from each border;
+    coordinates shift back by PAD_PIXELS to unpadded image space.
+    """
+    s = sr_size * up_scale
+    border = int(math.floor(template_size / 2)) * up_scale
+    idx = np.arange(s, dtype=np.float32)[border:s - border]  # [L1d]
+
+    ext = sr_boxes[:, 2:] - sr_boxes[:, :2]                   # [K, 2] (w, h)
+    stride = ext / (s - 1)                                    # [K, 2]
+    xs = sr_boxes[:, 0:1] + idx[None, :] * stride[:, 0:1]     # [K, L1d]
+    ys = sr_boxes[:, 1:2] + idx[None, :] * stride[:, 1:2]
+
+    gx = jnp.broadcast_to(xs[:, None, :], (xs.shape[0], len(idx), len(idx)))
+    gy = jnp.broadcast_to(ys[:, :, None], (ys.shape[0], len(idx), len(idx)))
+    loc = jnp.stack([gx, gy], axis=-1).reshape(xs.shape[0], -1, 2)
+    return loc - pad_pixels
+
+
+def _hann_window(size: int) -> np.ndarray:
+    """Periodic Hann (torch.hann_window default), outer product, flat."""
+    w = 0.5 * (1 - np.cos(2 * np.pi * np.arange(size) / size))
+    return np.outer(w, w).reshape(-1).astype(np.float32)
+
+
+def decode_response(cls_logits, center_logits, reg_logits, locations,
+                    template_boxes, ecfg: EMMConfig):
+    """Anchor-free decode of the upsampled response maps.
+
+    Args (all NHWC, K track slots):
+      cls_logits [K, S, S, 2]; center_logits [K, S, S, 1];
+      reg_logits [K, S, S, 4]; locations [K, S*S, 2];
+      template_boxes [K, 4].
+
+    Returns (boxes [K, 4], scores [K]).
+    """
+    k, s, _, _ = cls_logits.shape
+    L = s * s
+    cls_prob = jax.nn.softmax(cls_logits, axis=-1)[..., 1].reshape(k, L)
+    if ecfg.use_centerness:
+        center = jax.nn.sigmoid(center_logits[..., 0]).reshape(k, L)
+        conf = cls_prob * center
+    else:
+        conf = cls_prob
+    tlbr = reg_logits.reshape(k, L, 4)
+
+    # scale penalty (track_core.py:138-152); box extents WITHOUT +1
+    box_w = template_boxes[:, 2] - template_boxes[:, 0]
+    box_h = template_boxes[:, 3] - template_boxes[:, 1]
+    r_w = tlbr[..., 2] + tlbr[..., 0]
+    r_h = tlbr[..., 3] + tlbr[..., 1]
+    scale_w = r_w / jnp.maximum(box_w[:, None], 1e-10)
+    scale_h = r_h / jnp.maximum(box_h[:, None], 1e-10)
+    scale_w = jnp.maximum(scale_w, 1.0 / jnp.maximum(scale_w, 1e-10))
+    scale_h = jnp.maximum(scale_h, 1.0 / jnp.maximum(scale_h, 1e-10))
+    penalty = jnp.exp((-scale_w * scale_h + 1.0) * 0.1)
+
+    window = jnp.asarray(_hann_window(s))[None, :]
+    sigma = ecfg.cosine_window_weight
+    p_conf = conf * penalty * (1 - sigma) + sigma * window
+
+    idx = jnp.argmax(p_conf, axis=1)                       # [K]
+    take = lambda a: jnp.take_along_axis(a, idx[:, None, None], axis=1)[:, 0] \
+        if a.ndim == 3 else jnp.take_along_axis(a, idx[:, None], axis=1)[:, 0]
+    c = take(locations)                                    # [K, 2]
+    d = take(tlbr)                                         # [K, 4]
+    out = jnp.stack([c[:, 0] - d[:, 0], c[:, 1] - d[:, 1],
+                     c[:, 0] + d[:, 2], c[:, 1] + d[:, 3]], axis=-1)
+    score = take(cls_prob[..., None])[:, 0]
+    return out, score
+
+
+# ---------------------------------------------------------------------------
+# Loss (reference EMM/track_loss.py:62-158)
+# ---------------------------------------------------------------------------
+
+def emm_targets(locations, tar_boxes, pos_region: float):
+    """FCOS-style target assignment: a cell is positive when it lies inside
+    the central ``pos_region`` band of the target box in both axes.
+
+    Returns (cls_labels [K, L] in {0, 1}, reg_targets [K, L, 4]).
+    """
+    xs, ys = locations[..., 0], locations[..., 1]
+    l = xs - tar_boxes[:, None, 0]
+    t = ys - tar_boxes[:, None, 1]
+    r = tar_boxes[:, None, 2] - xs
+    b = tar_boxes[:, None, 3] - ys
+    half_w = (tar_boxes[:, None, 2] - tar_boxes[:, None, 0]) / 2.0
+    half_h = (tar_boxes[:, None, 3] - tar_boxes[:, None, 1]) / 2.0
+    pos = ((l > pos_region * half_w) & (r > pos_region * half_w)
+           & (t > pos_region * half_h) & (b > pos_region * half_h))
+    reg = jnp.stack([l, t, r, b], axis=-1)
+    return pos.astype(jnp.int32), reg
+
+
+def _centerness(reg):
+    lr = jnp.stack([reg[..., 0], reg[..., 2]], -1)
+    tb = jnp.stack([reg[..., 1], reg[..., 3]], -1)
+    c = (jnp.min(lr, -1) / jnp.maximum(jnp.max(lr, -1), 1e-10)) * \
+        (jnp.min(tb, -1) / jnp.maximum(jnp.max(tb, -1), 1e-10))
+    return jnp.sqrt(jnp.maximum(c, 0.0))
+
+
+def _iou_loss(pred, target):
+    """-log IoU with +1 smoothing (reference IOULoss, track_loss.py:33-59)."""
+    t_area = (target[..., 0] + target[..., 2]) * (target[..., 1] + target[..., 3])
+    p_area = (pred[..., 0] + pred[..., 2]) * (pred[..., 1] + pred[..., 3])
+    w_i = jnp.minimum(pred[..., 0], target[..., 0]) + \
+        jnp.minimum(pred[..., 2], target[..., 2])
+    h_i = jnp.minimum(pred[..., 1], target[..., 1]) + \
+        jnp.minimum(pred[..., 3], target[..., 3])
+    inter = w_i * h_i
+    union = t_area + p_area - inter
+    return -jnp.log((inter + 1.0) / (union + 1.0))
+
+
+def emm_loss(cls_logits, center_logits, reg_logits, locations, tar_boxes,
+             slot_valid, ecfg: EMMConfig):
+    """Balanced cls NLL + centerness-weighted IoU + centerness BCE,
+    all scaled by TRACK_LOSS_WEIGHT. ``slot_valid`` masks padded slots."""
+    k, s, _, _ = cls_logits.shape
+    L = s * s
+    labels, reg_t = emm_targets(locations, tar_boxes, ecfg.cls_pos_region)
+    labels = jnp.where(slot_valid[:, None], labels, -1)
+
+    logp = jax.nn.log_softmax(cls_logits.reshape(k, L, 2), axis=-1)
+    pos = labels == 1
+    neg = labels == 0
+    nll_pos = -jnp.sum(jnp.where(pos, logp[..., 1], 0.0)) / \
+        jnp.maximum(jnp.sum(pos), 1)
+    nll_neg = -jnp.sum(jnp.where(neg, logp[..., 0], 0.0)) / \
+        jnp.maximum(jnp.sum(neg), 1)
+    cls_loss = 0.5 * nll_pos + 0.5 * nll_neg
+
+    n_pos = jnp.sum(pos)
+    cness = _centerness(reg_t)
+    w = jnp.where(pos, cness, 0.0)
+    iou_l = _iou_loss(reg_logits.reshape(k, L, 4), reg_t)
+    reg_loss = jnp.sum(w * iou_l) / jnp.maximum(jnp.sum(w), 1e-10)
+    reg_loss = jnp.where(n_pos > 0, reg_loss, 0.0)
+
+    cl = center_logits.reshape(k, L)
+    bce = jnp.maximum(cl, 0) - cl * cness + jnp.log1p(jnp.exp(-jnp.abs(cl)))
+    center_loss = jnp.sum(jnp.where(pos, bce, 0.0)) / jnp.maximum(n_pos, 1)
+    center_loss = jnp.where(n_pos > 0, center_loss, 0.0)
+
+    lw = ecfg.track_loss_weight
+    return {"loss_tracker_class": lw * cls_loss,
+            "loss_tracker_motion": lw * reg_loss,
+            "loss_tracker_center": lw * center_loss}

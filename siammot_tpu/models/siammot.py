@@ -1,0 +1,265 @@
+"""SiamMOT meta-architecture.
+
+TPU-native equivalent of the reference top module + combined ROI heads
+(``/root/reference/siammot/modelling/rcnn.py:15-73``,
+``roi_heads.py:11-102``): DLA-FPN backbone -> RPN -> box head -> EMM track
+head -> track solver, with the inter-frame ``track_memory`` replaced by an
+on-device ``TrackState`` so the whole per-frame step is ONE jitted
+function `(params, image, state) -> (detections, state')` — scannable over
+frames with zero host round-trips.
+
+Efficiency note vs the reference: detections and propagated-track
+refinement share a single box-head pass (the reference runs the head twice,
+``roi_heads.py:24-41`` then ``_refine_tracks`` at ``roi_heads.py:60-84``;
+the MLP is row-independent so batching the two is exact).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import boxes as box_ops
+from ..core.structures import Boxes, concat_boxes
+from .box_head import BoxHead, BoxHeadConfig, postprocess, pool_levels
+from .dla import build_dla
+from .emm import (EMMConfig, EMMHead, decode_response, make_search_region,
+                  pool_search_region, pool_template, response_locations)
+from .fpn import FPN
+from .rpn import RPNConfig, RPNHead, base_anchors, grid_anchors, select_proposals
+from .track_solver import SolverConfig, solve
+from .track_state import TrackState, rebuild_state
+from ..ops.upsample import upsample_bicubic
+
+UPSCALE = 16  # reference upsamples response maps x16 (track_core.py:69-71)
+
+
+class SiamMOTNet(nn.Module):
+    """Parameter container; staged apply methods drive each sub-network."""
+
+    conv_body: str
+    fpn_channels: int
+    num_anchors: int
+    box_resolution: int
+    box_scales: tuple
+    box_sampling: int
+    mlp_dim: int
+    num_classes: int
+    compute_dtype: str = "float32"
+
+    def setup(self):
+        self.body = build_dla(self.conv_body)
+        self.fpn = FPN(self.fpn_channels)
+        self.rpn = RPNHead(self.num_anchors)
+        self.box = BoxHead(self.box_resolution, self.box_scales,
+                           self.box_sampling, self.mlp_dim, self.num_classes)
+        self.emm = EMMHead(self.fpn_channels)
+
+    def features(self, images):
+        dt = jnp.dtype(self.compute_dtype)
+        feats = self.fpn(self.body(images.astype(dt)))
+        return [f.astype(jnp.float32) for f in feats]
+
+    def rpn_maps(self, feats):
+        return self.rpn(feats)
+
+    def box_predict(self, feats, rois, levels):
+        return self.box(feats, rois, levels)
+
+    def emm_predict(self, sr_feats, templates):
+        return self.emm(sr_feats, templates)
+
+    def __call__(self, images, rois, levels, sr_feats, templates):
+        """Init-only path touching every submodule."""
+        f = self.features(images)
+        lg, dl = self.rpn_maps(f)
+        cl, bd = self.box_predict(f, rois, levels)
+        emm_out = self.emm_predict(sr_feats, templates)
+        return f, lg, dl, cl, bd, emm_out
+
+
+class SiamMOT:
+    """Builder + pure-function forward passes (the public model API).
+
+    Mirrors ``build_siammot(cfg)`` (reference ``rcnn.py:71``); state
+    handling replaces ``flush_memory`` / ``reset_siammot_status``
+    (``rcnn.py:34-39``) with explicit TrackState values.
+    """
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.channels = cfg.MODEL.DLA.BACKBONE_OUT_CHANNELS
+        self.num_classes = cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES
+        self.ecfg = EMMConfig.from_cfg(cfg)
+        self.hcfg = BoxHeadConfig.from_cfg(cfg)
+        self.scfg = SolverConfig.from_cfg(cfg)
+        self.rcfg_train = RPNConfig.from_cfg(cfg, is_train=True)
+        self.rcfg_test = RPNConfig.from_cfg(cfg, is_train=False)
+        self.max_tracks = cfg.TPU.MAX_TRACKS
+        self.tracktor = cfg.MODEL.TRACK_HEAD.TRACKTOR
+
+        self.net = SiamMOTNet(
+            conv_body=cfg.MODEL.BACKBONE.CONV_BODY,
+            fpn_channels=self.channels,
+            num_anchors=len(cfg.MODEL.RPN.ASPECT_RATIOS),
+            box_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+            box_scales=tuple(cfg.MODEL.ROI_BOX_HEAD.POOLER_SCALES),
+            box_sampling=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO,
+            mlp_dim=cfg.MODEL.ROI_BOX_HEAD.MLP_HEAD_DIM,
+            num_classes=self.num_classes,
+            compute_dtype=cfg.TPU.COMPUTE_DTYPE,
+        )
+
+        self._cell_anchors = [
+            base_anchors(s, sz, tuple(cfg.MODEL.RPN.ASPECT_RATIOS))
+            for s, sz in zip(cfg.MODEL.RPN.ANCHOR_STRIDE,
+                             cfg.MODEL.RPN.ANCHOR_SIZES)
+        ]
+
+    def jit_step(self, image_size=None, donate_state=True):
+        """Jitted per-frame inference step with a static original size."""
+        fn = partial(self.forward_inference, image_size=image_size)
+        return jax.jit(fn, donate_argnums=(2,) if donate_state else ())
+
+    # -- construction -------------------------------------------------------
+
+    def init_params(self, rng, image_hw):
+        h, w = image_hw
+        images = jnp.zeros((1, h, w, 3), jnp.float32)
+        rois = jnp.zeros((1, 4, 4), jnp.float32)
+        levels = jnp.zeros((1, 4), jnp.int32)
+        t = self.ecfg.resolution
+        sr = self.ecfg.sr_size
+        sr_feats = jnp.zeros((2, sr, sr, self.channels), jnp.float32)
+        templates = jnp.zeros((2, t, t, self.channels), jnp.float32)
+        return self.net.init(rng, images, rois, levels, sr_feats, templates)
+
+    def empty_state(self) -> TrackState:
+        return TrackState.empty(self.max_tracks, self.ecfg.resolution,
+                                self.channels)
+
+    def anchors_for(self, image_hw):
+        """Per-level anchor arrays for a given padded input size."""
+        h, w = image_hw
+        out = []
+        for stride, cell in zip(self.cfg.MODEL.RPN.ANCHOR_STRIDE,
+                                self._cell_anchors):
+            fh, fw = -(-h // stride), -(-w // stride)
+            out.append(jnp.asarray(grid_anchors((fh, fw), stride, cell)))
+        return out
+
+    # -- inference step -----------------------------------------------------
+
+    def forward_inference(self, params, images: jnp.ndarray,
+                          state: TrackState,
+                          given: Optional[Boxes] = None,
+                          image_size: Optional[tuple] = None):
+        """One frame: detect + propagate + solve + update memory.
+
+        Args:
+          images: [1, H, W, 3] normalized input frame, zero-padded to the
+            32-divisible compile shape (reference ``to_image_list``).
+          given: optional public detections (MOT17 mode) replacing RPN
+            proposals (``roi_heads.py:24-33``).
+          image_size: static (w, h) of the un-padded content, used for
+            box clipping (maskrcnn keeps original sizes on the BoxList
+            while the tensor is padded).  Defaults to the padded shape.
+
+        Returns (out: Boxes over all candidate rows, state': TrackState).
+        """
+        net, ecfg, hcfg, scfg = self.net, self.ecfg, self.hcfg, self.scfg
+        h, w = images.shape[1:3]
+        image_size = image_size or (w, h)
+        k = self.max_tracks
+
+        feats = net.apply(params, images, method=net.features)
+        feats1 = [f[0] for f in feats]
+
+        # ---- proposals
+        if given is None:
+            logits, deltas = net.apply(params, feats, method=net.rpn_maps)
+            pb, ps, pv = select_proposals(
+                logits, deltas, self.anchors_for((h, w)), image_size,
+                self.rcfg_test)
+            prop = Boxes(boxes=pb[0], scores=ps[0],
+                         ids=jnp.full((pb.shape[1],), -1, jnp.int32),
+                         labels=jnp.zeros((pb.shape[1],), jnp.int32),
+                         valid=pv[0])
+        else:
+            prop = given
+
+        # ---- track propagation (EMM) over K padded slots
+        occupied = state.occupied
+        batched_feats = [f[None] for f in feats1]
+        sr_feats = pool_search_region(batched_feats, state.boxes, state.sr,
+                                      jnp.zeros((k,), jnp.int32), ecfg)
+        cls_l, ctr_l, reg_l = net.apply(params, sr_feats, state.template,
+                                        method=net.emm_predict)
+        cls_u = upsample_bicubic(cls_l, UPSCALE)
+        ctr_u = upsample_bicubic(ctr_l, UPSCALE)
+        reg_u = upsample_bicubic(reg_l, UPSCALE)
+        locations = response_locations(state.sr, ecfg.sr_size,
+                                       ecfg.resolution, ecfg.pad_pixels,
+                                       UPSCALE)
+        tboxes, tconf = decode_response(cls_u, ctr_u, reg_u, locations,
+                                        state.boxes, ecfg)
+        tvalid = occupied
+        if not ecfg.amodal:
+            tboxes = box_ops.clip_to_image(tboxes, image_size)
+            tvalid = tvalid & box_ops.nonempty_mask(tboxes)
+
+        # ---- shared box-head pass: proposals + track refinement
+        all_rois = jnp.concatenate([prop.boxes, tboxes], axis=0)
+        levels = pool_levels(all_rois, len(self.net.box_scales))
+        cl, bd = net.apply(params, feats, all_rois[None], levels[None],
+                           method=net.box_predict)
+        cl, bd = cl[0], bd[0]
+        n_prop = prop.capacity
+
+        detections = postprocess(cl[:n_prop], bd[:n_prop], prop, image_size,
+                                 hcfg)
+
+        # track refinement (_refine_tracks, roi_heads.py:60-84)
+        t_cl, t_bd = cl[n_prop:], bd[n_prop:]
+        t_prob = jax.nn.softmax(t_cl, axis=-1)
+        lab = jnp.clip(state.labels, 0, self.num_classes - 1)
+        app_score = jnp.take_along_axis(t_prob, lab[:, None], axis=1)[:, 0]
+        dec = box_ops.decode(t_bd, tboxes, hcfg.reg_weights).reshape(
+            k, self.num_classes, 4)
+        rboxes = jnp.take_along_axis(
+            dec, lab[:, None, None].repeat(4, -1), axis=1)[:, 0]
+        if not hcfg.amodal:
+            rboxes = box_ops.clip_to_image(rboxes, image_size)
+        if self.tracktor:
+            rscores = app_score + 1.0
+        else:
+            rscores = (app_score + tconf) / 2.0 + 1.0
+        tracks = Boxes(boxes=rboxes, scores=rscores, ids=state.ids,
+                       labels=state.labels, valid=tvalid)
+
+        # ---- solver
+        rows = concat_boxes(detections, tracks)
+        out, row_is_active, upd = solve(state, rows, scfg)
+
+        # ---- next-frame memory: compact actives to K, extract caches
+        pri = jnp.where(row_is_active, out.scores, -jnp.inf)
+        _, top = jax.lax.top_k(pri, k)
+        act = jax.tree.map(lambda x: x[top], out)
+        act = act.replace(valid=row_is_active[top])
+
+        fresh_template = pool_template(batched_feats, act.boxes,
+                                       jnp.zeros((k,), jnp.int32), ecfg)
+        fresh_sr = make_search_region(act.boxes, ecfg)
+
+        new_state = rebuild_state(
+            state.replace(active=upd["active_after"],
+                          last_active=upd["last_active"],
+                          ids=jnp.where(upd["expired"], -1, state.ids)),
+            act, act.valid, fresh_template, fresh_sr,
+            upd["keep_dormant"], upd["next_id"], state.frame_idx)
+        return out, new_state

@@ -142,6 +142,27 @@ def map_rois_to_levels(boxes: jnp.ndarray, k_min: int, k_max: int,
     return (lvl - k_min).astype(jnp.int32)
 
 
+def multilevel_roi_align_batched(features: list, rois: jnp.ndarray,
+                                 img_idx: jnp.ndarray, levels: jnp.ndarray,
+                                 output_size: int, scales: tuple,
+                                 sampling_ratio: int,
+                                 pad_pixels: int = 0) -> jnp.ndarray:
+    """Batched-image FPN pooler: every ROI names its (image, level) pair.
+
+    features: list of [B, Hi, Wi, C]; rois [M, 4]; img_idx [M]; levels [M].
+    Flattens (image, level) into one row table so a single gather serves
+    boxes from any frame in the batch — used by the track-head training
+    path where template/search crops pool from different frames of a pair.
+    """
+    b = features[0].shape[0]
+    num_levels = len(scales)
+    flat_feats = [f[i] for i in range(b) for f in features]
+    flat_levels = img_idx * num_levels + levels
+    flat_scales = tuple(scales) * b
+    return multilevel_roi_align(flat_feats, rois, flat_levels, output_size,
+                                flat_scales, sampling_ratio, pad_pixels)
+
+
 def multilevel_roi_align(features: list, rois: jnp.ndarray,
                          levels: jnp.ndarray, output_size: int,
                          scales: tuple, sampling_ratio: int,
