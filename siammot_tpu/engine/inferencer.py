@@ -1,0 +1,147 @@
+"""Dataset inference engine.
+
+TPU-native counterpart of the reference engine
+(``/root/reference/siammot/engine/inferencer.py:16-172``): per video —
+reset track state, stream frames through the single jitted frame step
+(host decode prefetched on a thread), convert outputs to AnnoEntities,
+cache per-video results as DataSample JSON (doubles as a regression
+harness), post-filter tracks (mean confidence >= 0.7, length >= 5) and
+run CLEAR-MOT.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..data.motion_dataset import DataSample
+from ..data.transforms import EvalTransform
+from ..data.video_loader import (PrefetchIterator, build_frame_iterator,
+                                 resolve_data_path, video_metadata)
+from ..eval.clearmot import eval_clears_mot
+from ..utils.entities import boxes_to_entities, entities_to_boxes
+
+logger = logging.getLogger(__name__)
+
+GIVEN_DETECTION_CAPACITY = 128
+
+
+def do_inference(cfg, model, params, sample: DataSample, transforms=None,
+                 given_detection: DataSample = None,
+                 dataset_root: str = "") -> DataSample:
+    """Track one video; returns predictions as a DataSample."""
+    transforms = transforms or EvalTransform(cfg)
+    w0, h0 = sample.width, sample.height
+    in_w, in_h = transforms.input_size(w0, h0)
+    scale_back = (w0 / in_w, h0 / in_h)
+
+    step = model.jit_step(image_size=(in_w, in_h))
+    state = model.empty_state()
+
+    path = resolve_data_path(sample, dataset_root)
+    frames = PrefetchIterator(build_frame_iterator(path), transforms)
+
+    result = DataSample(sample.id, metadata=dict(sample.metadata))
+    use_given = given_detection is not None
+
+    net_time = 0.0
+    n_frames = 0
+    pending = []  # (frame_idx, out) — drain a step behind to overlap
+    for frame_idx, (x, _) in enumerate(frames):
+        given = None
+        if use_given:
+            ents = given_detection.get_entities_for_frame_num(frame_idx)
+            given = entities_to_boxes(ents, GIVEN_DETECTION_CAPACITY,
+                                      (in_w / w0, in_h / h0))
+        t0 = time.perf_counter()
+        out, state = step(params, jax.numpy.asarray(x), state, given) \
+            if use_given else step(params, jax.numpy.asarray(x), state)
+        pending.append((frame_idx, out))
+        net_time += time.perf_counter() - t0
+        n_frames += 1
+
+    t0 = time.perf_counter()
+    for frame_idx, out in pending:
+        host = jax.tree.map(np.asarray, out)
+        time_ms = frame_idx * 1000.0 / sample.fps
+        for e in boxes_to_entities(host, frame_idx, time_ms, scale_back):
+            result.add_entity(e)
+    net_time += time.perf_counter() - t0
+
+    if n_frames:
+        logger.info("Sample_id %s / Speed %.1f fps", sample.id,
+                    n_frames / max(net_time, 1e-6))
+    return result
+
+
+class DatasetInference:
+    """Batch inference over a dataset with caching + CLEAR-MOT eval
+    (reference ``DatasetInference``, ``inferencer.py:77-172``)."""
+
+    def __init__(self, cfg, model, params, dataset, output_dir,
+                 data_filter_fn=None, public_detection=None,
+                 dataset_root: str = ""):
+        self._cfg = cfg
+        self._model = model
+        self._params = params
+        self._dataset = dataset
+        self._output_dir = output_dir
+        self._data_filter_fn = data_filter_fn
+        self._pub_detection = public_detection
+        self._dataset_root = dataset_root
+        self._transform = EvalTransform(cfg)
+        self._track_conf = 0.7
+        self._track_len = 5
+        self.results = {}
+
+    def _inference_on_video(self, sample) -> DataSample:
+        cache_path = os.path.join(self._output_dir, f"{sample.id}.json")
+        if os.path.exists(cache_path):
+            return DataSample.load(cache_path)
+        given = None
+        if self._pub_detection:
+            given = self._pub_detection.get(sample.id)
+        result = do_inference(self._cfg, self._model, self._params, sample,
+                              self._transform, given, self._dataset_root)
+        result.dump(cache_path)
+        return result
+
+    def _postprocess_tracks(self, tracks: DataSample) -> DataSample:
+        """Drop short and low-confidence tracks (inferencer.py:134-153)."""
+        track_ids = {e.id for e in tracks.entities if e.id >= 0}
+        out = tracks.get_copy_without_entities()
+        for tid in track_ids:
+            ents = tracks.get_entities_with_id(tid)
+            conf = np.mean([e.confidence for e in ents])
+            if len(ents) >= self._track_len and conf >= self._track_conf:
+                for e in ents:
+                    out.add_entity(e)
+        return out
+
+    def __call__(self):
+        for sample_id, sample in self._dataset:
+            result = self._inference_on_video(sample)
+            result = self._postprocess_tracks(result)
+            self.results[sample.id] = result
+
+        logger.info("---------------- Start evaluating ----------------")
+        accs, summary = eval_clears_mot(
+            self._dataset, self.results, data_filter_fn=self._data_filter_fn)
+        logger.info(summary)
+        logger.info("---------------- Finish evaluating ----------------")
+        return accs, summary
+
+    def eval_det_ap(self):
+        from ..eval.det_ap import eval_det_ap as _ap
+        ap = _ap(self._dataset, self.results,
+                 data_filter_fn=self._data_filter_fn)
+        mean_ap = np.mean(ap, axis=0)
+        txt = ("\nDetection AP @[ IoU=0.50:0.95 ] = {:.2f}\n"
+               "Detection AP @[ IoU=0.50 ] = {:.2f}\n"
+               "Detection AP @[ IoU=0.75 ] = {:.2f}\n").format(
+            float(np.mean(mean_ap)) * 100, mean_ap[0] * 100, mean_ap[5] * 100)
+        return mean_ap, txt

@@ -1,0 +1,92 @@
+"""Training engine.
+
+TPU-native counterpart of the reference train loop
+(``/root/reference/siammot/engine/trainer.py:14-104``): iteration-based
+(no epochs), periodic smoothed-loss logging, periodic checkpointing, and
+TensorBoard scalars — but the step itself is one jitted DP program
+(``parallel/mesh.build_train_step``) so there is no DDP wrapper, no AMP
+scaler (bf16 needs none) and the loss reduction for logging falls out of
+the same XLA program.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections import deque
+
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class SmoothedValue:
+    """Windowed median/avg meter (maskrcnn MetricLogger semantics)."""
+
+    def __init__(self, window: int = 20):
+        self.values = deque(maxlen=window)
+        self.total = 0.0
+        self.count = 0
+
+    def update(self, v: float):
+        self.values.append(v)
+        self.total += v
+        self.count += 1
+
+    @property
+    def median(self):
+        return float(np.median(self.values)) if self.values else 0.0
+
+    @property
+    def global_avg(self):
+        return self.total / max(self.count, 1)
+
+
+def do_train(model, train_step, params, opt_state, data_loader, checkpointer,
+             max_iter: int, checkpoint_period: int, start_iter: int = 0,
+             log_period: int = 20, tensorboard_writer=None, rng=None):
+    """Run the training loop; returns final (params, opt_state)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    meters = {"loss": SmoothedValue(), "time": SmoothedValue(),
+              "data": SmoothedValue()}
+    logger.info("Start training")
+    start = time.time()
+    end = time.time()
+
+    iteration = start_iter
+    for images, gt in data_loader:
+        if iteration >= max_iter:
+            break
+        iteration += 1
+        meters["data"].update(time.time() - end)
+
+        rng, step_rng = jax.random.split(rng)
+        params, opt_state, metrics = train_step(params, opt_state, images,
+                                                gt, step_rng)
+
+        if iteration % log_period == 0 or iteration == max_iter:
+            host = {k: float(v) for k, v in metrics.items()}
+            meters["loss"].update(host["loss"])
+            eta = (time.time() - start) / max(iteration - start_iter, 1) \
+                * (max_iter - iteration)
+            logger.info(
+                "iter %d/%d  loss %.4f (med %.4f)  %s  eta %.0fs",
+                iteration, max_iter, host["loss"], meters["loss"].median,
+                "  ".join(f"{k} {v:.4f}" for k, v in sorted(host.items())
+                          if k != "loss"), eta)
+            if tensorboard_writer is not None:
+                tensorboard_writer(iteration, host)
+
+        if iteration % checkpoint_period == 0 and checkpointer is not None:
+            checkpointer.save(iteration, params, opt_state)
+
+        meters["time"].update(time.time() - end)
+        end = time.time()
+
+    if checkpointer is not None:
+        checkpointer.save(iteration, params, opt_state, tag="model_final")
+    total = time.time() - start
+    logger.info("Total training time: %.0fs (%.4f s/it)", total,
+                total / max(iteration - start_iter, 1))
+    return params, opt_state

@@ -286,9 +286,13 @@ def emm_loss(cls_logits, center_logits, reg_logits, locations, tar_boxes,
     cls_loss = 0.5 * nll_pos + 0.5 * nll_neg
 
     n_pos = jnp.sum(pos)
-    cness = _centerness(reg_t)
+    cness = _centerness(jnp.where(pos[..., None], reg_t, 1.0))
     w = jnp.where(pos, cness, 0.0)
-    iou_l = _iou_loss(reg_logits.reshape(k, L, 4), reg_t)
+    # sanitize masked lanes BEFORE the log so neither the forward value nor
+    # the gradient can turn NaN (0 * NaN == NaN)
+    safe_pred = jnp.where(pos[..., None], reg_logits.reshape(k, L, 4), 1.0)
+    safe_t = jnp.where(pos[..., None], reg_t, 1.0)
+    iou_l = _iou_loss(safe_pred, safe_t)
     reg_loss = jnp.sum(w * iou_l) / jnp.maximum(jnp.sum(w), 1e-10)
     reg_loss = jnp.where(n_pos > 0, reg_loss, 0.0)
 

@@ -26,7 +26,11 @@ import numpy as np
 
 from ..core import boxes as box_ops
 from ..core.structures import Boxes, concat_boxes
-from .box_head import BoxHead, BoxHeadConfig, postprocess, pool_levels
+from .box_head import (BoxHead, BoxHeadConfig, box_head_loss, postprocess,
+                       pool_levels, subsample_proposals)
+from .emm_sampler import sample_track_pairs
+from .emm import emm_loss
+from .rpn import rpn_loss
 from .dla import build_dla
 from .emm import (EMMConfig, EMMHead, decode_response, make_search_region,
                   pool_search_region, pool_template, response_locations)
@@ -263,3 +267,98 @@ class SiamMOT:
             act, act.valid, fresh_template, fresh_sr,
             upd["keep_dormant"], upd["next_id"], state.frame_idx)
         return out, new_state
+
+    # -- training step ------------------------------------------------------
+
+    def forward_train(self, params, rng, images: jnp.ndarray, gt: Boxes,
+                      image_size: Optional[tuple] = None):
+        """Training forward pass -> loss dict.
+
+        Args:
+          images: [B, H, W, 3]; frames arranged in clip pairs
+            (0<->1, 2<->3, ...) — the reference's ``swap_pairs`` /
+            ``shuffle_feature`` pairing (``track_utils.py:24-60``) becomes
+            an index flip ``i ^ 1``.
+          gt: batched padded Boxes, fields [B, G(, 4)], with batch-unique
+            instance ids in ``ids``.
+
+        Returns dict of the 7 reference losses
+        (rpn objectness/box, box cls/reg, track cls/motion/center).
+        """
+        net, ecfg, hcfg = self.net, self.ecfg, self.hcfg
+        b, h, w = images.shape[:3]
+        assert b % 2 == 0, "training batch must be frame pairs"
+        image_size = image_size or (w, h)
+        anchors = self.anchors_for((h, w))
+        rcfg = self.rcfg_train
+        t = self.cfg.MODEL.TRACK_HEAD
+
+        feats = net.apply(params, images, method=net.features)
+        logits, deltas = net.apply(params, feats, method=net.rpn_maps)
+
+        # ---- RPN loss (vmapped over images, then averaged)
+        rngs = jax.random.split(rng, 3 * b)
+        rpn_fn = jax.vmap(
+            lambda r, li, di, gti: rpn_loss(r, li, di, anchors, gti,
+                                            image_size, rcfg),
+            in_axes=(0, 0, 0, 0))
+        rpn_losses = jax.tree.map(
+            jnp.mean, rpn_fn(rngs[:b], logits, deltas, gt))
+
+        # ---- proposals + append gt (maskrcnn add_gt_proposals)
+        pb, ps, pv = select_proposals(logits, deltas, anchors, image_size,
+                                      rcfg)
+        g_cap = gt.boxes.shape[1]
+        m = pb.shape[1] + g_cap
+        props = Boxes(
+            boxes=jnp.concatenate([pb, gt.boxes], axis=1),       # [B, K+G, 4]
+            scores=jnp.concatenate(
+                [ps, jnp.ones((b, g_cap), ps.dtype)], axis=1),
+            ids=jnp.full((b, m), -1, jnp.int32),
+            labels=jnp.zeros((b, m), jnp.int32),
+            valid=jnp.concatenate([pv, gt.valid], axis=1))
+
+        # ---- box head: balanced subsample -> pooled MLP -> loss
+        n_samp = hcfg.batch_per_image
+        sub_fn = jax.vmap(
+            lambda r, p, g: subsample_proposals(r, p, g, hcfg, n_samp))
+        sampled, labels, regs = sub_fn(rngs[b:2 * b], props, gt)
+        rois = sampled.boxes                                      # [B, S, 4]
+        levels = pool_levels(rois, len(self.net.box_scales))
+        cl, bd = net.apply(params, feats, rois, levels,
+                           method=net.box_predict)
+        box_losses = box_head_loss(
+            cl.reshape(-1, self.num_classes),
+            bd.reshape(-1, self.num_classes * 4),
+            labels.reshape(-1), regs.reshape(-1, 4),
+            sampled.valid.reshape(-1))
+
+        # ---- track head: sample pairs, pool template/SR, EMM loss
+        n_track = t.PROPOSAL_PER_IMAGE
+        pair_perm = jnp.arange(b) ^ 1
+        gt_pair = jax.tree.map(lambda x: x[pair_perm], gt)
+        samp_fn = jax.vmap(
+            lambda r, p, gti, gtp: sample_track_pairs(
+                r, p, p.scores, gti, gtp, n_track, t.EMM.POS_RATIO,
+                t.EMM.HN_RATIO, t.FG_IOU_THRESHOLD, t.BG_IOU_THRESHOLD))
+        tr = samp_fn(rngs[2 * b:3 * b], props, gt, gt_pair)
+        src = tr["src_boxes"].reshape(-1, 4)                      # [B*T, 4]
+        pair_boxes = tr["pair_boxes"].reshape(-1, 4)
+        tar = tr["tar_boxes"].reshape(-1, 4)
+        valid = tr["valid"].reshape(-1)
+        img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n_track)
+        pair_idx = img_idx ^ 1
+
+        sr_boxes = make_search_region(pair_boxes, ecfg)
+        templates = pool_template(feats, src, img_idx, ecfg)
+        # SR crops pool from the *paired* frame (shuffle_feature semantics),
+        # level still chosen by the template box
+        sr_feats = pool_search_region(feats, src, sr_boxes, pair_idx, ecfg)
+        cls_l, ctr_l, reg_l = net.apply(params, sr_feats, templates,
+                                        method=net.emm_predict)
+        locations = response_locations(sr_boxes, ecfg.sr_size,
+                                       ecfg.resolution, ecfg.pad_pixels, 1)
+        track_losses = emm_loss(cls_l, ctr_l, reg_l, locations, tar,
+                                valid, ecfg)
+
+        return {**rpn_losses, **box_losses, **track_losses}

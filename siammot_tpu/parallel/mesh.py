@@ -1,0 +1,117 @@
+"""Data-parallel training over a TPU device mesh.
+
+TPU-native replacement for the reference's NCCL DDP stack
+(``tools/train_net.py:50-54,85-91``; ``trainer.py:56-65``):
+
+  * one ``jax.sharding.Mesh(('data',))`` over all chips (ICI within a pod
+    slice) instead of one process per GPU;
+  * the batch is sharded over 'data', parameters/optimizer state are
+    replicated, and the gradient all-reduce is induced by ``jax.jit``
+    output shardings (XLA psum over ICI) instead of DDP hooks;
+  * loss-dict reduction for logging (maskrcnn ``reduce_loss_dict``)
+    falls out of the same program — the returned metrics are already
+    globally averaged.
+
+The mesh is 1-axis because the reference model (~20M params) needs only
+DP (SURVEY.md §2c); the axis name is threaded so larger backbones can
+add model axes later.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), ("data",))
+
+
+def make_lr_schedule(cfg):
+    """maskrcnn WarmupMultiStepLR: linear warmup (factor 1/3, 500 iters)
+    then x0.1 at each SOLVER.STEPS milestone."""
+    base = cfg.SOLVER.BASE_LR
+    steps = sorted(cfg.SOLVER.STEPS)
+    gamma = cfg.SOLVER.GAMMA
+    wf = cfg.SOLVER.WARMUP_FACTOR
+    wi = cfg.SOLVER.WARMUP_ITERS
+
+    def schedule(it):
+        it = jnp.asarray(it, jnp.float32)
+        alpha = jnp.clip(it / max(wi, 1), 0.0, 1.0)
+        warm = wf * (1 - alpha) + alpha
+        decay = jnp.asarray(1.0)
+        for s in steps:
+            decay = decay * jnp.where(it >= s, gamma, 1.0)
+        return base * warm * decay
+
+    return schedule
+
+
+def _is_bias_like(path) -> bool:
+    leaf = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+    return leaf in ("bias", "scale")
+
+
+def make_optimizer(cfg, params):
+    """SGD + momentum with the reference's per-parameter policy
+    (``maskrcnn make_optimizer``): weight decay only on weights; biases get
+    2x LR and no decay; FrozenBN scale/bias never move (zero grads via
+    stop_gradient + no decay here)."""
+    schedule = make_lr_schedule(cfg)
+
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, _: "bias" if _is_bias_like(p) else "weight", params)
+
+    def sgd(lr_factor, weight_decay):
+        def scaled(it):
+            return schedule(it) * lr_factor
+
+        chain = [optax.add_decayed_weights(weight_decay)] if weight_decay else []
+        chain += [optax.sgd(learning_rate=scaled,
+                            momentum=cfg.SOLVER.MOMENTUM)]
+        return optax.chain(*chain)
+
+    return optax.multi_transform(
+        {"weight": sgd(1.0, cfg.SOLVER.WEIGHT_DECAY),
+         "bias": sgd(cfg.SOLVER.BIAS_LR_FACTOR, cfg.SOLVER.WEIGHT_DECAY_BIAS)},
+        label_fn)
+
+
+def build_train_step(model, tx, mesh: Mesh, image_size=None):
+    """Jitted DP train step: params replicated, batch sharded over 'data'.
+
+    batch = dict(images [B, H, W, 3], gt: Boxes with [B, G] fields,
+    rng key). Returns (params', opt_state', metrics) with metrics already
+    globally reduced.
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    def step(params, opt_state, images, gt, rng):
+        def loss_fn(p):
+            losses = model.forward_train(p, rng, images, gt,
+                                         image_size=image_size)
+            return sum(losses.values()), losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = dict(losses, loss=total)
+        return params, opt_state, metrics
+
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, data, data, repl),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )

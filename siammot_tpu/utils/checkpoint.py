@@ -1,0 +1,218 @@
+"""Checkpointing: Orbax pytree save/load + PyTorch reference-weight import.
+
+Replaces the reference's maskrcnn ``DetectronCheckpointer``
+(``tools/train_net.py:56-70``; SURVEY.md §5.4): model + optimizer +
+iteration are saved as an Orbax pytree every CHECKPOINT_PERIOD and the
+latest checkpoint resumes training.  ``import_torch_checkpoint`` converts
+a reference/maskrcnn ``.pth`` state dict into this framework's parameter
+tree (conv OIHW -> HWIO transpose, FC transpose, FrozenBatchNorm folded
+into scale/bias) so released SiamMOT checkpoints can run here for
+box-level parity testing.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+class Checkpointer:
+    """Orbax-backed save/load of (params, opt_state, iteration)."""
+
+    def __init__(self, output_dir: str):
+        import orbax.checkpoint as ocp
+        self.dir = os.path.abspath(output_dir)
+        os.makedirs(self.dir, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def save(self, iteration: int, params, opt_state, tag: Optional[str] = None):
+        name = tag or f"model_{iteration:07d}"
+        path = os.path.join(self.dir, name)
+        self._ckptr.save(path, {"params": params, "opt_state": opt_state,
+                                "iteration": iteration}, force=True)
+        self._ckptr.wait_until_finished()
+
+    def latest(self) -> Optional[str]:
+        cands = [d for d in os.listdir(self.dir)
+                 if re.match(r"model_(\d+|final)$", d)]
+        if not cands:
+            return None
+        cands.sort(key=lambda d: (d == "model_final",
+                                  int(d.split("_")[1]) if d.split("_")[1].isdigit() else 0))
+        return os.path.join(self.dir, cands[-1])
+
+    def load(self, path: Optional[str], like):
+        """Restore into the structure of ``like`` (a template pytree)."""
+        path = path or self.latest()
+        if path is None:
+            return None
+        return self._ckptr.restore(os.path.abspath(path), like)
+
+
+# ---------------------------------------------------------------------------
+# PyTorch -> JAX conversion
+# ---------------------------------------------------------------------------
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    """OIHW -> HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def fold_frozen_bn(sd: dict, prefix: str):
+    """maskrcnn FrozenBatchNorm2d (no eps): scale = w / sqrt(var),
+    bias = b - mean * scale."""
+    w = sd[prefix + ".weight"]
+    b = sd[prefix + ".bias"]
+    mean = sd[prefix + ".running_mean"]
+    var = sd[prefix + ".running_var"]
+    scale = w / np.sqrt(var)
+    return {"scale": scale, "bias": b - mean * scale}
+
+
+def import_torch_checkpoint(path_or_state, params_template):
+    """Convert a reference .pth state dict into this framework's params.
+
+    Handles the module-name mapping between the reference graph
+    (``backbone.body/fpn``, ``rpn.head``, ``roi_heads.box/track``) and this
+    framework's flax tree.  Unknown keys are reported, not fatal.
+    """
+    import torch
+
+    if isinstance(path_or_state, (str, os.PathLike)):
+        state = torch.load(path_or_state, map_location="cpu",
+                           weights_only=False)
+        state = state.get("model", state)
+    else:
+        state = path_or_state
+    sd = {k.removeprefix("module."): np.asarray(v)
+          for k, v in state.items() if hasattr(v, "numpy") or
+          isinstance(v, np.ndarray)}
+
+    flat = _flatten(params_template)
+    out = dict(flat)
+    used = set()
+
+    def put(jkey: str, value: np.ndarray):
+        if jkey not in flat:
+            raise KeyError(f"no such param in template: {jkey}")
+        if flat[jkey].shape != value.shape:
+            raise ValueError(
+                f"{jkey}: shape {value.shape} vs {flat[jkey].shape}")
+        out[jkey] = value.astype(np.asarray(flat[jkey]).dtype)
+
+    def conv(tkey: str, jprefix: str):
+        put(jprefix + "/kernel", _conv_kernel(sd[tkey + ".weight"]))
+        used.add(tkey + ".weight")
+        if tkey + ".bias" in sd:
+            put(jprefix + "/bias", sd[tkey + ".bias"])
+            used.add(tkey + ".bias")
+
+    def bn(tkey: str, jprefix: str):
+        f = fold_frozen_bn(sd, tkey)
+        put(jprefix + "/scale", f["scale"])
+        put(jprefix + "/bias", f["bias"])
+        for suf in (".weight", ".bias", ".running_mean", ".running_var"):
+            used.add(tkey + suf)
+
+    def dense(tkey: str, jprefix: str):
+        put(jprefix + "/kernel", sd[tkey + ".weight"].T)
+        used.add(tkey + ".weight")
+        if tkey + ".bias" in sd:
+            put(jprefix + "/bias", sd[tkey + ".bias"])
+            used.add(tkey + ".bias")
+
+    def gn(tkey: str, jprefix: str):
+        put(jprefix + "/scale", sd[tkey + ".weight"])
+        put(jprefix + "/bias", sd[tkey + ".bias"])
+        used.add(tkey + ".weight")
+        used.add(tkey + ".bias")
+
+    # ---- DLA body
+    body = "backbone.body."
+    conv(body + "base_layer.0", "params/body/base_conv")
+    bn(body + "base_layer.1", "params/body/base_bn")
+    for lvl in (0, 1):
+        i = 0
+        while f"{body}level{lvl}.{3 * i}.weight" in sd:
+            conv(f"{body}level{lvl}.{3 * i}", f"params/body/level{lvl}_conv{i}")
+            bn(f"{body}level{lvl}.{3 * i + 1}", f"params/body/level{lvl}_bn{i}")
+            i += 1
+
+    def map_block(tprefix: str, jprefix: str):
+        for c in (1, 2, 3):
+            if f"{tprefix}.conv{c}.weight" in sd:
+                conv(f"{tprefix}.conv{c}", f"{jprefix}/conv{c}")
+                bn(f"{tprefix}.bn{c}", f"{jprefix}/bn{c}")
+
+    def map_tree(tprefix: str, jprefix: str):
+        if f"{tprefix}.project.0.weight" in sd:
+            conv(f"{tprefix}.project.0", f"{jprefix}/project_conv")
+            bn(f"{tprefix}.project.1", f"{jprefix}/project_bn")
+        if f"{tprefix}.root.conv.weight" in sd:  # leaf tree
+            map_block(f"{tprefix}.tree1", f"{jprefix}/tree1")
+            map_block(f"{tprefix}.tree2", f"{jprefix}/tree2")
+            conv(f"{tprefix}.root.conv", f"{jprefix}/root/conv")
+            bn(f"{tprefix}.root.bn", f"{jprefix}/root/bn")
+        else:
+            map_tree(f"{tprefix}.tree1", f"{jprefix}/tree1")
+            map_tree(f"{tprefix}.tree2", f"{jprefix}/tree2")
+
+    for lvl in (2, 3, 4, 5):
+        map_tree(f"{body}level{lvl}", f"params/body/level{lvl}")
+
+    # ---- FPN
+    for i in (1, 2, 3, 4):
+        conv(f"backbone.fpn.fpn_inner{i}", f"params/fpn/inner{i}")
+        conv(f"backbone.fpn.fpn_layer{i}", f"params/fpn/layer{i}")
+
+    # ---- RPN head
+    conv("rpn.head.conv", "params/rpn/conv")
+    conv("rpn.head.cls_logits", "params/rpn/cls_logits")
+    conv("rpn.head.bbox_pred", "params/rpn/bbox_pred")
+
+    # ---- box head
+    fx = "roi_heads.box.feature_extractor."
+    dense(fx + "fc6", "params/box/feature_extractor/fc6")
+    dense(fx + "fc7", "params/box/feature_extractor/fc7")
+    dense("roi_heads.box.predictor.cls_score", "params/box/predictor/cls_score")
+    dense("roi_heads.box.predictor.bbox_pred", "params/box/predictor/bbox_pred")
+
+    # ---- EMM predictor (make_conv3x3 towers: [conv, gn] sequentials)
+    tp = "roi_heads.track.tracker.predictor."
+    conv(tp + "cls_tower.0", "params/emm/predictor/cls_tower_conv")
+    gn(tp + "cls_tower.1", "params/emm/predictor/cls_tower_gn")
+    conv(tp + "reg_tower.0", "params/emm/predictor/reg_tower_conv")
+    gn(tp + "reg_tower.1", "params/emm/predictor/reg_tower_gn")
+    conv(tp + "cls.0", "params/emm/predictor/cls")
+    conv(tp + "center.0", "params/emm/predictor/center")
+    conv(tp + "reg.0", "params/emm/predictor/reg")
+
+    leftovers = sorted(k for k in sd if k not in used
+                       and "num_batches_tracked" not in k
+                       and not k.startswith("fc."))
+    return _unflatten(out), leftovers
+
+
+def _flatten(tree, prefix=""):
+    flat = {}
+    if isinstance(tree, dict) or hasattr(tree, "items"):
+        for k, v in tree.items():
+            flat.update(_flatten(v, f"{prefix}/{k}" if prefix else k))
+    else:
+        flat[prefix] = tree
+    return flat
+
+
+def _unflatten(flat: dict):
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
