@@ -196,6 +196,8 @@ _C.TPU = CN()
 _C.TPU.MAX_TRACKS = 128
 # padded detection capacity out of the box head per frame
 _C.TPU.MAX_DETECTIONS = 256
+# padded ground-truth capacity per frame in the train collator
+_C.TPU.MAX_GT = 100
 # compute dtype for the conv trunk ("bfloat16" or "float32")
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # image sizes are bucketed/padded to fixed shapes for compile caching
