@@ -106,6 +106,41 @@ class PrefetchIterator:
         return item
 
 
+def normalized_frame_source(path: str, transform, depth: int = 4):
+    """Prefetched stream of ``(normalized padded [1,H,W,3] f32, (w, h))``.
+
+    JPEG image folders take the native fast path (csrc/frameio.so:
+    threaded libjpeg decode fused with resize+normalize); everything else
+    decodes via cv2 on a prefetch thread and runs ``transform`` per frame.
+    """
+    from . import native
+
+    if os.path.isdir(path) and native.available():
+        files = sorted(f for f in glob.glob(os.path.join(path, "*"))
+                       if f.lower().endswith((".jpg", ".jpeg")))
+        if files:
+            size = native.image_size(files[0])
+            if size is not None:
+                w, h = size
+                nw, nh = transform.input_size(w, h)
+
+                def gen():
+                    from .transforms import pad_to_divisible
+                    for f in files:
+                        x = native.decode_resize_normalize(
+                            f, nw, nh, transform.mean, transform.std)
+                        if x is None:  # corrupt file: cv2 fallback
+                            img = cv2.cvtColor(cv2.imread(f),
+                                               cv2.COLOR_BGR2RGB)
+                            yield transform(img)
+                            continue
+                        x = pad_to_divisible(x, transform.divisor)
+                        yield x[None], (nw, nh)
+
+                return PrefetchIterator(gen(), None, depth)
+    return PrefetchIterator(build_frame_iterator(path), transform, depth)
+
+
 def resolve_data_path(sample, dataset_root: str) -> str:
     """Locate a sample's frame source under the dataset root."""
     p = sample.data_path

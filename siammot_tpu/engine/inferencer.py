@@ -20,8 +20,8 @@ import numpy as np
 
 from ..data.motion_dataset import DataSample
 from ..data.transforms import EvalTransform
-from ..data.video_loader import (PrefetchIterator, build_frame_iterator,
-                                 resolve_data_path, video_metadata)
+from ..data.video_loader import (normalized_frame_source, resolve_data_path,
+                                 video_metadata)
 from ..eval.clearmot import eval_clears_mot
 from ..utils.entities import boxes_to_entities, entities_to_boxes
 
@@ -43,7 +43,7 @@ def do_inference(cfg, model, params, sample: DataSample, transforms=None,
     state = model.empty_state()
 
     path = resolve_data_path(sample, dataset_root)
-    frames = PrefetchIterator(build_frame_iterator(path), transforms)
+    frames = normalized_frame_source(path, transforms)
 
     result = DataSample(sample.id, metadata=dict(sample.metadata))
     use_given = given_detection is not None

@@ -31,7 +31,7 @@ from ..core import boxes as box_ops
 from ..ops.roi_align import (map_rois_to_levels, multilevel_roi_align,
                              multilevel_roi_align_batched)
 from ..ops.upsample import upsample_bicubic
-from ..ops.xcorr import xcorr_depthwise
+from ..ops.xcorr import xcorr_depthwise, xcorr_depthwise_auto
 
 
 @flax.struct.dataclass
@@ -101,15 +101,23 @@ class EMMPredictor(nn.Module):
         return cls_logits, center_logits, reg_logits
 
 
+from ..utils.registry import SIAMESE_TRACKER
+
+
+@SIAMESE_TRACKER.register("EMM")
 class EMMHead(nn.Module):
     """Parameters of the EMM head (the predictor); pooling/xcorr/decoding
-    are pure functions below."""
+    are pure functions below.  Registered as the "EMM" siamese tracker
+    (reference ``track_core.py:14``)."""
 
     channels: int
 
+    use_pallas: bool = True
+
     @nn.compact
     def __call__(self, sr_features, template_features):
-        response = xcorr_depthwise(sr_features, template_features)
+        xcorr = xcorr_depthwise_auto if self.use_pallas else xcorr_depthwise
+        response = xcorr(sr_features, template_features)
         return EMMPredictor(self.channels, name="predictor")(response)
 
 

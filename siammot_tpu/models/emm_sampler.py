@@ -46,6 +46,10 @@ def _sample_k(rng, mask, k):
     return sel, jnp.sum(sel.astype(jnp.int32))
 
 
+from ..utils.registry import TRACKER_SAMPLER
+
+
+@TRACKER_SAMPLER.register("EMM")
 def sample_track_pairs(rng, proposals: Boxes, objectness: jnp.ndarray,
                        gt_src: Boxes, gt_tar: Boxes, num_samples: int,
                        pos_ratio: float, hn_ratio: float,

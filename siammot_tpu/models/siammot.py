@@ -55,6 +55,7 @@ class SiamMOTNet(nn.Module):
     mlp_dim: int
     num_classes: int
     compute_dtype: str = "float32"
+    use_pallas: bool = True
 
     def setup(self):
         self.body = build_dla(self.conv_body)
@@ -62,7 +63,7 @@ class SiamMOTNet(nn.Module):
         self.rpn = RPNHead(self.num_anchors)
         self.box = BoxHead(self.box_resolution, self.box_scales,
                            self.box_sampling, self.mlp_dim, self.num_classes)
-        self.emm = EMMHead(self.fpn_channels)
+        self.emm = EMMHead(self.fpn_channels, use_pallas=self.use_pallas)
 
     def features(self, images):
         dt = jnp.dtype(self.compute_dtype)
@@ -106,6 +107,11 @@ class SiamMOT:
         self.rcfg_test = RPNConfig.from_cfg(cfg, is_train=False)
         self.max_tracks = cfg.TPU.MAX_TRACKS
         self.tracktor = cfg.MODEL.TRACK_HEAD.TRACKTOR
+        # validate the pluggable motion model (reference registry lookup,
+        # track_head.py:113-126); only EMM ships, as in the reference
+        from ..utils.registry import SIAMESE_TRACKER, TRACKER_SAMPLER
+        SIAMESE_TRACKER.get(cfg.MODEL.TRACK_HEAD.MODEL)
+        TRACKER_SAMPLER.get(cfg.MODEL.TRACK_HEAD.MODEL)
 
         self.net = SiamMOTNet(
             conv_body=cfg.MODEL.BACKBONE.CONV_BODY,
@@ -117,6 +123,7 @@ class SiamMOT:
             mlp_dim=cfg.MODEL.ROI_BOX_HEAD.MLP_HEAD_DIM,
             num_classes=self.num_classes,
             compute_dtype=cfg.TPU.COMPUTE_DTYPE,
+            use_pallas=cfg.TPU.USE_PALLAS,
         )
 
         self._cell_anchors = [

@@ -13,7 +13,18 @@ the pure-XLA reference used as fallback and in tests.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def xcorr_depthwise_auto(search: jnp.ndarray,
+                         template: jnp.ndarray) -> jnp.ndarray:
+    """Dispatch: fused Pallas kernel on TPU, pure-XLA fallback elsewhere
+    (CPU-mesh tests / dryruns run the same numerics via the fallback)."""
+    if jax.default_backend() in ("tpu", "axon"):
+        from .pallas.xcorr import xcorr_depthwise_pallas
+        return xcorr_depthwise_pallas(search, template)
+    return xcorr_depthwise(search, template)
 
 
 def xcorr_depthwise(search: jnp.ndarray, template: jnp.ndarray) -> jnp.ndarray:
