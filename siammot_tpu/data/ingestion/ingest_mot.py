@@ -73,13 +73,18 @@ def parse_mot_csv(path: str, fps: float, is_gt: bool) -> list:
     return entities
 
 
-def ingest_sequence(seq_dir: str, source: str = "gt") -> DataSample:
+def ingest_sequence(seq_dir: str, source: str = "gt",
+                    root: str = None) -> DataSample:
     info = read_seqinfo(seq_dir)
+    # data_path is stored relative to the dataset root so
+    # ``resolve_data_path`` can join them (e.g. "train/MOT17-04-DPM/img1")
+    rel = os.path.join(os.path.relpath(seq_dir, root) if root
+                       else os.path.basename(seq_dir), info["im_dir"])
     sample = DataSample(info["name"], metadata=dict(
         fps=info["fps"],
         number_of_frames=info["num_frames"],
         resolution={"width": info["width"], "height": info["height"]},
-        data_path=os.path.join(os.path.basename(seq_dir), info["im_dir"]),
+        data_path=rel,
     ))
     anno = os.path.join(seq_dir, source, f"{source}.txt")
     for e in parse_mot_csv(anno, info["fps"], is_gt=(source == "gt")):
@@ -98,10 +103,10 @@ def ingest_mot(root: str, anno_name: str = "anno.json",
         for seq_dir in sorted(glob.glob(os.path.join(root, split, "*"))):
             if not os.path.isdir(seq_dir):
                 continue
-            sample = ingest_sequence(seq_dir, source="gt")
+            sample = ingest_sequence(seq_dir, source="gt", root=root)
             ds.add_sample(sample)
             splits[split].append(sample.id)
-            det = ingest_sequence(seq_dir, source="det")
+            det = ingest_sequence(seq_dir, source="det", root=root)
             if det.entities:
                 det_ds.add_sample(det)
     ds.metadata = {"description": "MOTChallenge ingestion"}

@@ -146,6 +146,15 @@ def resolve_data_path(sample, dataset_root: str) -> str:
     p = sample.data_path
     if not p:
         raise IOError(f"sample {sample.id} has no data_path")
-    if not os.path.isabs(p):
-        p = os.path.join(dataset_root, p)
-    return p
+    if os.path.isabs(p):
+        return p
+    cand = os.path.join(dataset_root, p)
+    if os.path.exists(cand):
+        return cand
+    # ingested MOT layouts keep raw sequences beside the annotation dir
+    # rather than under <root>/raw_data — fall back to the dataset folder
+    if os.path.basename(dataset_root) == "raw_data":
+        alt = os.path.join(os.path.dirname(dataset_root), p)
+        if os.path.exists(alt):
+            return alt
+    return cand

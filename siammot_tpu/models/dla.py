@@ -66,7 +66,10 @@ class BasicBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """DLA bottleneck (reference dla.py:60-105): 1x1 -> 3x3 -> 1x1."""
+    """DLA bottleneck (reference dla.py:60-105): 1x1 -> 3x3 -> 1x1.
+
+    ``with_dcn`` swaps the 3x3 for a deformable conv (DCNv1), matching
+    the reference's optional ``DFConv2d`` (``dla.py:74-77``)."""
 
     planes: int
     stride: int = 1
@@ -74,6 +77,7 @@ class Bottleneck(nn.Module):
     cardinality: int = 1
     base_width: int = 64
     expansion: int = 2
+    with_dcn: bool = False
 
     @nn.compact
     def __call__(self, x, residual=None):
@@ -83,8 +87,13 @@ class Bottleneck(nn.Module):
                   * self.cardinality) // self.expansion
         out = conv(mid, 1, name="conv1")(x)
         out = nn.relu(FrozenBN(mid, name="bn1")(out))
-        out = conv(mid, 3, self.stride, self.dilation,
-                   groups=self.cardinality, name="conv2")(out)
+        if self.with_dcn:
+            from ..ops.deform_conv import DeformConv
+            out = DeformConv(mid, 3, self.stride, self.dilation,
+                             name="conv2")(out)
+        else:
+            out = conv(mid, 3, self.stride, self.dilation,
+                       groups=self.cardinality, name="conv2")(out)
         out = nn.relu(FrozenBN(mid, name="bn2")(out))
         out = conv(self.planes, 1, name="conv3")(out)
         out = FrozenBN(self.planes, name="bn3")(out)
@@ -167,11 +176,19 @@ class DLA(nn.Module):
     block: Any = BasicBlock
     residual_root: bool = False
     block_kwargs: dict | None = None
+    stage_with_dcn: Sequence[bool] = (False,) * 6
 
     @nn.compact
     def __call__(self, x):
         ch = self.channels
         bk = self.block_kwargs or {}
+
+        def stage_kwargs(stage: int) -> dict:
+            # DCN applies to bottleneck stages only (reference DlaBasic
+            # swallows with_dcn, dla.py:30; dcn_config[2..5], dla.py:265-271)
+            if self.stage_with_dcn[stage] and self.block is not BasicBlock:
+                return dict(bk, with_dcn=True)
+            return bk
 
         x = conv(ch[0], 7, 1, name="base_conv")(x)
         x = nn.relu(FrozenBN(ch[0], name="base_bn")(x))
@@ -186,16 +203,20 @@ class DLA(nn.Module):
         x0 = conv_level(x, ch[0], self.levels[0], 1, "level0")
         x1 = conv_level(x0, ch[1], self.levels[1], 2, "level1")
         x2 = Tree(self.levels[2], self.block, ch[1], ch[2], 2,
-                  root_residual=self.residual_root, block_kwargs=bk,
+                  root_residual=self.residual_root,
+                  block_kwargs=stage_kwargs(2),
                   name="level2")(x1)
         x3 = Tree(self.levels[3], self.block, ch[2], ch[3], 2, level_root=True,
-                  root_residual=self.residual_root, block_kwargs=bk,
+                  root_residual=self.residual_root,
+                  block_kwargs=stage_kwargs(3),
                   name="level3")(x2)
         x4 = Tree(self.levels[4], self.block, ch[3], ch[4], 2, level_root=True,
-                  root_residual=self.residual_root, block_kwargs=bk,
+                  root_residual=self.residual_root,
+                  block_kwargs=stage_kwargs(4),
                   name="level4")(x3)
         x5 = Tree(self.levels[5], self.block, ch[4], ch[5], 2, level_root=True,
-                  root_residual=self.residual_root, block_kwargs=bk,
+                  root_residual=self.residual_root,
+                  block_kwargs=stage_kwargs(5),
                   name="level5")(x4)
         return [x2, x3, x4, x5]
 
@@ -220,8 +241,9 @@ DLA_VARIANTS = {
 }
 
 
-def build_dla(conv_body: str) -> DLA:
+def build_dla(conv_body: str, stage_with_dcn=(False,) * 6) -> DLA:
     if conv_body not in DLA_VARIANTS:
         raise KeyError(f"unknown backbone {conv_body}; "
                        f"choices: {sorted(DLA_VARIANTS)}")
-    return DLA(**DLA_VARIANTS[conv_body])
+    return DLA(stage_with_dcn=tuple(stage_with_dcn),
+               **DLA_VARIANTS[conv_body])

@@ -56,9 +56,10 @@ class SiamMOTNet(nn.Module):
     num_classes: int
     compute_dtype: str = "float32"
     use_pallas: bool = True
+    stage_with_dcn: tuple = (False,) * 6
 
     def setup(self):
-        self.body = build_dla(self.conv_body)
+        self.body = build_dla(self.conv_body, self.stage_with_dcn)
         self.fpn = FPN(self.fpn_channels)
         self.rpn = RPNHead(self.num_anchors)
         self.box = BoxHead(self.box_resolution, self.box_scales,
@@ -124,6 +125,7 @@ class SiamMOT:
             num_classes=self.num_classes,
             compute_dtype=cfg.TPU.COMPUTE_DTYPE,
             use_pallas=cfg.TPU.USE_PALLAS,
+            stage_with_dcn=tuple(cfg.MODEL.DLA.STAGE_WITH_DCN),
         )
 
         self._cell_anchors = [
