@@ -205,6 +205,13 @@ _C.TPU.INPUT_HEIGHT = 0   # 0 = derive from INPUT.MIN/MAX_SIZE_TEST
 _C.TPU.INPUT_WIDTH = 0
 # use Pallas kernels for hot ops (else pure-XLA fallbacks)
 _C.TPU.USE_PALLAS = True
+# windowed-separable ROIAlign at inference (ops/roi_align_windowed.py):
+# per-site static window sizes, exact for sample spans that fit (the
+# LevelMapper bounds extents to ~[14, 28) feature px per sqrt-area axis)
+_C.TPU.POOLER_WINDOWED = True
+_C.TPU.WINDOW_BOX = 64
+_C.TPU.WINDOW_TEMPLATE = 64
+_C.TPU.WINDOW_SR = 128
 # device mesh axis sizes for data parallelism (0 = all available devices)
 _C.TPU.DATA_PARALLEL = 0
 

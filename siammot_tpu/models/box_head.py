@@ -39,13 +39,25 @@ class BoxHeadFeatureExtractor(nn.Module):
     sampling_ratio: int
     mlp_dim: int
 
+    window: int = 64
+
     @nn.compact
-    def __call__(self, features, rois, levels):
+    def __call__(self, features, rois, levels, pack=None):
         # features: list of [N, Hi, Wi, C]; rois [N, R, 4]; levels [N, R]
-        pool = jax.vmap(
-            lambda fs, r, l: multilevel_roi_align(
-                fs, r, l, self.resolution, self.scales, self.sampling_ratio)
-        )([f for f in features[:len(self.scales)]], rois, levels)
+        if pack is not None:  # windowed fast path (inference)
+            from ..ops.roi_align_windowed import windowed_pool
+            b, r = rois.shape[:2]
+            img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
+            pool = windowed_pool(pack, rois.reshape(-1, 4), img_idx,
+                                 levels.reshape(-1), self.resolution,
+                                 self.sampling_ratio, self.window)
+            pool = pool.reshape(b, r, *pool.shape[1:])
+        else:
+            pool = jax.vmap(
+                lambda fs, r, l: multilevel_roi_align(
+                    fs, r, l, self.resolution, self.scales,
+                    self.sampling_ratio)
+            )([f for f in features[:len(self.scales)]], rois, levels)
         x = pool.reshape(pool.shape[0], pool.shape[1], -1)
         x = nn.relu(nn.Dense(self.mlp_dim, name="fc6")(x))
         x = nn.relu(nn.Dense(self.mlp_dim, name="fc7")(x))
@@ -76,10 +88,10 @@ class BoxHead(nn.Module):
     num_classes: int
 
     @nn.compact
-    def __call__(self, features, rois, levels):
-        x = BoxHeadFeatureExtractor(self.resolution, self.scales,
-                                    self.sampling_ratio, self.mlp_dim,
-                                    name="feature_extractor")(features, rois, levels)
+    def __call__(self, features, rois, levels, pack=None):
+        x = BoxHeadFeatureExtractor(
+            self.resolution, self.scales, self.sampling_ratio, self.mlp_dim,
+            name="feature_extractor")(features, rois, levels, pack)
         return BoxHeadPredictor(self.num_classes, name="predictor")(x)
 
 

@@ -125,19 +125,33 @@ class EMMHead(nn.Module):
 # Pooling (the SRPooler semantics)
 # ---------------------------------------------------------------------------
 
-def pool_template(features, boxes, img_idx, ecfg: EMMConfig):
-    """15x15 template crops at track boxes (unpadded coords)."""
+def pool_template(features, boxes, img_idx, ecfg: EMMConfig, pack=None,
+                  window: int = 64):
+    """15x15 template crops at track boxes (unpadded coords).
+
+    ``pack`` (a ``LevelPack``) selects the windowed-separable pooler —
+    the inference fast path; the exact gather pooler otherwise.
+    """
     levels = map_rois_to_levels(boxes, 2, 2 + len(ecfg.scales) - 1)
+    if pack is not None:
+        from ..ops.roi_align_windowed import windowed_pool
+        return windowed_pool(pack, boxes, img_idx, levels, ecfg.resolution,
+                             ecfg.sampling_ratio, window)
     return multilevel_roi_align_batched(
         features, boxes, img_idx, levels, ecfg.resolution, ecfg.scales,
         ecfg.sampling_ratio)
 
 
 def pool_search_region(features, template_boxes, sr_boxes, img_idx,
-                       ecfg: EMMConfig):
+                       ecfg: EMMConfig, pack=None, window: int = 128):
     """30x30 SR crops: level from the template box, crop from the SR box in
     padded coords (``sr_pool.py:64-74``)."""
     levels = map_rois_to_levels(template_boxes, 2, 2 + len(ecfg.scales) - 1)
+    if pack is not None:
+        from ..ops.roi_align_windowed import windowed_pool
+        return windowed_pool(pack, sr_boxes, img_idx, levels, ecfg.sr_size,
+                             ecfg.sampling_ratio, window,
+                             pad_pixels=ecfg.pad_pixels)
     return multilevel_roi_align_batched(
         features, sr_boxes, img_idx, levels, ecfg.sr_size, ecfg.scales,
         ecfg.sampling_ratio, pad_pixels=ecfg.pad_pixels)

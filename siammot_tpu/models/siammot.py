@@ -74,8 +74,8 @@ class SiamMOTNet(nn.Module):
     def rpn_maps(self, feats):
         return self.rpn(feats)
 
-    def box_predict(self, feats, rois, levels):
-        return self.box(feats, rois, levels)
+    def box_predict(self, feats, rois, levels, pack=None):
+        return self.box(feats, rois, levels, pack)
 
     def emm_predict(self, sr_feats, templates):
         return self.emm(sr_feats, templates)
@@ -113,6 +113,10 @@ class SiamMOT:
         from ..utils.registry import SIAMESE_TRACKER, TRACKER_SAMPLER
         SIAMESE_TRACKER.get(cfg.MODEL.TRACK_HEAD.MODEL)
         TRACKER_SAMPLER.get(cfg.MODEL.TRACK_HEAD.MODEL)
+        self.windowed = cfg.TPU.POOLER_WINDOWED
+        self.window_box = cfg.TPU.WINDOW_BOX
+        self.window_template = cfg.TPU.WINDOW_TEMPLATE
+        self.window_sr = cfg.TPU.WINDOW_SR
 
         self.net = SiamMOTNet(
             conv_body=cfg.MODEL.BACKBONE.CONV_BODY,
@@ -193,6 +197,13 @@ class SiamMOT:
         feats = net.apply(params, images, method=net.features)
         feats1 = [f[0] for f in feats]
 
+        # one stacked level table shared by every pooler this frame
+        pack = None
+        if self.windowed:
+            from ..ops.roi_align_windowed import pack_levels
+            pack = pack_levels(feats[:len(self.net.box_scales)],
+                               self.net.box_scales)
+
         # ---- proposals
         if given is None:
             logits, deltas = net.apply(params, feats, method=net.rpn_maps)
@@ -210,7 +221,8 @@ class SiamMOT:
         occupied = state.occupied
         batched_feats = [f[None] for f in feats1]
         sr_feats = pool_search_region(batched_feats, state.boxes, state.sr,
-                                      jnp.zeros((k,), jnp.int32), ecfg)
+                                      jnp.zeros((k,), jnp.int32), ecfg,
+                                      pack=pack, window=self.window_sr)
         cls_l, ctr_l, reg_l = net.apply(params, sr_feats, state.template,
                                         method=net.emm_predict)
         cls_u = upsample_bicubic(cls_l, UPSCALE)
@@ -230,7 +242,7 @@ class SiamMOT:
         all_rois = jnp.concatenate([prop.boxes, tboxes], axis=0)
         levels = pool_levels(all_rois, len(self.net.box_scales))
         cl, bd = net.apply(params, feats, all_rois[None], levels[None],
-                           method=net.box_predict)
+                           pack, method=net.box_predict)
         cl, bd = cl[0], bd[0]
         n_prop = prop.capacity
 
@@ -266,7 +278,9 @@ class SiamMOT:
         act = act.replace(valid=row_is_active[top])
 
         fresh_template = pool_template(batched_feats, act.boxes,
-                                       jnp.zeros((k,), jnp.int32), ecfg)
+                                       jnp.zeros((k,), jnp.int32), ecfg,
+                                       pack=pack,
+                                       window=self.window_template)
         fresh_sr = make_search_region(act.boxes, ecfg)
 
         new_state = rebuild_state(

@@ -1,0 +1,87 @@
+"""Windowed-separable ROIAlign vs the exact gather formulation."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from siammot_tpu.ops.roi_align import (map_rois_to_levels,
+                                       multilevel_roi_align_batched)
+from siammot_tpu.ops.roi_align_windowed import (roi_align_windowed,
+                                                stack_levels)
+
+SCALES = (0.25, 0.125, 0.0625, 0.03125)
+
+
+def _features(rng, b=1, c=16, h0=64, w0=96):
+    return [jnp.asarray(rng.randn(b, h0 // (2 ** i), w0 // (2 ** i), c)
+                        .astype(np.float32)) for i in range(4)]
+
+
+def _random_rois(rng, n, img_w, img_h, lo=8, hi=60):
+    x1 = rng.uniform(-10, img_w - 10, n)
+    y1 = rng.uniform(-10, img_h - 10, n)
+    w = rng.uniform(lo, hi, n)
+    h = rng.uniform(lo, hi, n)
+    return jnp.asarray(np.stack([x1, y1, x1 + w, y1 + h], -1)
+                       .astype(np.float32))
+
+
+@pytest.mark.parametrize("pad_pixels", [0, 64])
+def test_windowed_matches_exact(rng, pad_pixels):
+    feats = _features(rng)
+    n = 24
+    img_w, img_h = 384, 256  # image-space size (stride-4 level is 96x64)
+    rois = _random_rois(rng, n, img_w, img_h, lo=16, hi=120)
+    if pad_pixels:
+        rois = rois + pad_pixels
+    levels = map_rois_to_levels(rois - (pad_pixels if pad_pixels else 0),
+                                2, 5)
+    img_idx = jnp.zeros((n,), jnp.int32)
+
+    ref = multilevel_roi_align_batched(feats, rois, img_idx, levels, 7,
+                                       SCALES, 2, pad_pixels=pad_pixels)
+
+    table, offsets, heights, widths = stack_levels(feats)
+    scales = jnp.asarray(np.array(SCALES, np.float32))[levels]
+    out = roi_align_windowed(table, jnp.asarray(offsets),
+                             jnp.asarray(heights), jnp.asarray(widths),
+                             rois, img_idx * 4 + levels, scales, 7, 2,
+                             window=48, pad_pixels=pad_pixels)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_windowed_matches_exact_sr_pool(rng):
+    """SR-pool shapes: 30x30 output, window 128, multi-image batch."""
+    feats = _features(rng, b=2)
+    n = 12
+    rois = _random_rois(rng, n, 384, 256, lo=20, hi=100)
+    pad = 512
+    sr = rois * 2.0 + pad  # SR-ish boxes in padded coords
+    levels = map_rois_to_levels(rois, 2, 5)
+    img_idx = jnp.asarray(rng.randint(0, 2, n).astype(np.int32))
+
+    ref = multilevel_roi_align_batched(feats, sr, img_idx, levels, 30,
+                                       SCALES, 2, pad_pixels=pad)
+    table, offsets, heights, widths = stack_levels(feats)
+    scales = jnp.asarray(np.array(SCALES, np.float32))[levels]
+    out = roi_align_windowed(table, jnp.asarray(offsets),
+                             jnp.asarray(heights), jnp.asarray(widths),
+                             sr, img_idx * 4 + levels, scales, 30, 2,
+                             window=128, pad_pixels=pad)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_windowed_degenerate_rois(rng):
+    """Zero-size / out-of-image ROIs (padded slots) must not NaN."""
+    feats = _features(rng)
+    rois = jnp.asarray(np.array([[0, 0, 0, 0], [-50, -50, -40, -45],
+                                 [500, 400, 600, 500]], np.float32))
+    levels = jnp.zeros((3,), jnp.int32)
+    table, offsets, heights, widths = stack_levels(feats)
+    scales = jnp.full((3,), 0.25, jnp.float32)
+    out = roi_align_windowed(table, jnp.asarray(offsets),
+                             jnp.asarray(heights), jnp.asarray(widths),
+                             rois, levels, scales, 7, 2, window=48)
+    assert np.isfinite(np.asarray(out)).all()
