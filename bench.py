@@ -18,6 +18,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from siammot_tpu.configs.defaults import get_cfg
     from siammot_tpu.models.siammot import SiamMOT
 

@@ -41,7 +41,9 @@ def eval_det_ap(samples, predicted_samples: dict, data_filter_fn=None,
 
     Args mirror ``eval_clears_mot``; returns np.ndarray [T]."""
     if iou_threshold is None:
-        iou_threshold = np.arange(0.5, 0.95, 0.05).tolist()
+        # IoU .5:.95 in .05 steps — 10 thresholds (reference inferencer
+        # passes np.arange(0.5, 1, 0.05), eval_det_ap.py:10 defaults [0.5])
+        iou_threshold = np.arange(0.5, 1.0, 0.05).tolist()
 
     ap_rows = []
     for sample_id, sample in samples:

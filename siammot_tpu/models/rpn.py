@@ -130,28 +130,39 @@ class RPNConfig:
         )
 
 
-def _select_level(objectness, deltas, anchors, image_size, rcfg: RPNConfig):
-    """One level, one image: top-k, decode, clip, small-box filter, NMS.
+def _topk_level(objectness, deltas, anchors, image_size, rcfg: RPNConfig,
+                k: int):
+    """One level, one image: top-k + decode + clip + small-box filter.
 
-    objectness: [HWA] logits; deltas: [HWA, 4]; anchors: [HWA, 4].
-    Returns (boxes [K,4], scores [K], keep [K]) with K = pre_nms_top_n.
+    Returns (boxes [k,4], scores [k], keep [k]); levels with fewer than k
+    anchors are padded with keep=False rows.
     """
     hwa = objectness.shape[0]
-    k = min(rcfg.pre_nms_top_n, hwa)
     scores = jax.nn.sigmoid(objectness)
-    top_scores, idx = jax.lax.top_k(scores, k)
+    if hwa >= k:
+        top_scores, idx = jax.lax.top_k(scores, k)
+        pad = jnp.ones((k,), bool)
+    else:
+        top_scores = jnp.concatenate(
+            [scores, jnp.full((k - hwa,), -jnp.inf, scores.dtype)])
+        idx = jnp.concatenate([jnp.arange(hwa), jnp.zeros((k - hwa,),
+                                                          jnp.int32)])
+        pad = jnp.concatenate([jnp.ones((hwa,), bool),
+                               jnp.zeros((k - hwa,), bool)])
     proposals = box_ops.decode(deltas[idx], anchors[idx])
     if not rcfg.amodal:
         proposals = box_ops.clip_to_image(proposals, image_size)
-    keep = box_ops.min_size_mask(proposals, rcfg.min_size)
-    keep = nms_mask(proposals, top_scores, keep, rcfg.nms_thresh,
-                    max_out=rcfg.post_nms_top_n)
+    keep = box_ops.min_size_mask(proposals, rcfg.min_size) & pad
     return proposals, top_scores, keep
 
 
 def select_proposals(logits, deltas, anchors_per_level, image_size,
                      rcfg: RPNConfig):
     """Full RPN proposal selection for a batch.
+
+    Per-level top-k feeds ONE batched NMS over the stacked [L*N, K] sets
+    (a single fixed-point loop of batched mat-vecs) instead of L
+    serialized per-level NMS loops.
 
     Args:
       logits: list of [N, H, W, A] per level.
@@ -162,21 +173,38 @@ def select_proposals(logits, deltas, anchors_per_level, image_size,
     Returns (boxes [N, K, 4], objectness [N, K], valid [N, K]) with
     K = fpn_post_nms_top_n, per-image top-k semantics (test path).
     """
-    all_boxes, all_scores, all_keep = [], [], []
+    k_pre = rcfg.pre_nms_top_n
+    lv_boxes, lv_scores, lv_keep = [], [], []
     for lg, dl, anch in zip(logits, deltas, anchors_per_level):
         n, h, w, a = lg.shape
         obj = lg.reshape(n, h * w * a)
         dlt = dl.reshape(n, h * w * a, 4)
-        fn = jax.vmap(partial(_select_level, image_size=image_size, rcfg=rcfg),
-                      in_axes=(0, 0, None))
+        fn = jax.vmap(partial(_topk_level, image_size=image_size, rcfg=rcfg,
+                              k=k_pre), in_axes=(0, 0, None))
         bx, sc, kp = fn(obj, dlt, anch)
-        all_boxes.append(bx)
-        all_scores.append(sc)
-        all_keep.append(kp)
+        lv_boxes.append(bx)
+        lv_scores.append(sc)
+        lv_keep.append(kp)
 
-    boxes = jnp.concatenate(all_boxes, axis=1)
-    scores = jnp.concatenate(all_scores, axis=1)
-    keep = jnp.concatenate(all_keep, axis=1)
+    # [L, N, K] -> one batched NMS over L*N independent sets
+    n = lv_boxes[0].shape[0]
+    sb = jnp.stack(lv_boxes).reshape(-1, k_pre, 4)
+    ss = jnp.stack(lv_scores).reshape(-1, k_pre)
+    sk = jnp.stack(lv_keep).reshape(-1, k_pre)
+    nms = jax.vmap(partial(nms_mask, iou_threshold=rcfg.nms_thresh,
+                           max_out=rcfg.post_nms_top_n))
+    sk = nms(sb, ss, sk)
+
+    num_levels = len(lv_boxes)
+    boxes = jnp.concatenate(
+        [sb.reshape(num_levels, n, k_pre, 4)[i] for i in range(num_levels)],
+        axis=1)
+    scores = jnp.concatenate(
+        [ss.reshape(num_levels, n, k_pre)[i] for i in range(num_levels)],
+        axis=1)
+    keep = jnp.concatenate(
+        [sk.reshape(num_levels, n, k_pre)[i] for i in range(num_levels)],
+        axis=1)
 
     k = min(rcfg.fpn_post_nms_top_n, boxes.shape[1])
     masked = jnp.where(keep, scores, -jnp.inf)

@@ -32,8 +32,9 @@ from .emm_sampler import sample_track_pairs
 from .emm import emm_loss
 from .rpn import rpn_loss
 from .dla import build_dla
-from .emm import (EMMConfig, EMMHead, decode_response, make_search_region,
-                  pool_search_region, pool_template, response_locations)
+from .emm import (EMMConfig, EMMHead, decode_response, decode_response_fused,
+                  make_search_region, pool_search_region, pool_template,
+                  response_locations)
 from .fpn import FPN
 from .rpn import RPNConfig, RPNHead, base_anchors, grid_anchors, select_proposals
 from .track_solver import SolverConfig, solve
@@ -225,14 +226,8 @@ class SiamMOT:
                                       pack=pack, window=self.window_sr)
         cls_l, ctr_l, reg_l = net.apply(params, sr_feats, state.template,
                                         method=net.emm_predict)
-        cls_u = upsample_bicubic(cls_l, UPSCALE)
-        ctr_u = upsample_bicubic(ctr_l, UPSCALE)
-        reg_u = upsample_bicubic(reg_l, UPSCALE)
-        locations = response_locations(state.sr, ecfg.sr_size,
-                                       ecfg.resolution, ecfg.pad_pixels,
-                                       UPSCALE)
-        tboxes, tconf = decode_response(cls_u, ctr_u, reg_u, locations,
-                                        state.boxes, ecfg)
+        tboxes, tconf = decode_response_fused(cls_l, ctr_l, reg_l, state.sr,
+                                              state.boxes, ecfg, UPSCALE)
         tvalid = occupied
         if not ecfg.amodal:
             tboxes = box_ops.clip_to_image(tboxes, image_size)

@@ -17,6 +17,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def scalarized(fn):
     """Jit fn but return only a f32 scalar so the sync fetch is 4 bytes
@@ -24,8 +27,8 @@ def scalarized(fn):
     time)."""
     def inner(*args, **kw):
         out = fn(*args, **kw)
-        return sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(out)
-                   ), out
+        arrs = [l for l in jax.tree.leaves(out) if hasattr(l, "astype")]
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in arrs), out
     jfn = jax.jit(inner)
 
     def run(*args, **kw):
@@ -50,9 +53,10 @@ def timed(fn, *args, iters=20, **kw):
 def main():
     from siammot_tpu.configs.defaults import get_cfg
     from siammot_tpu.models.siammot import SiamMOT, UPSCALE
-    from siammot_tpu.models.emm import (decode_response, make_search_region,
-                                        pool_search_region, pool_template,
-                                        response_locations)
+    from siammot_tpu.models.emm import (decode_response_fused,
+                                        make_search_region,
+                                        pool_search_region, pool_template)
+    from siammot_tpu.ops.roi_align_windowed import pack_levels
     from siammot_tpu.models.rpn import select_proposals
     from siammot_tpu.models.box_head import pool_levels, postprocess
     from siammot_tpu.core.structures import Boxes, concat_boxes
@@ -83,39 +87,38 @@ def main():
     pb, ps, pv = sel_fn(logits, deltas)
     print(f"proposal select+nms {timed(sel_fn, logits, deltas):8.2f} ms")
 
+    pack_fn = scalarized(lambda f: pack_levels(f[:4], model.net.box_scales))
+    pack = pack_fn(feats)
+    print(f"pack levels         {timed(pack_fn, feats):8.2f} ms")
+
     n_prop = pb.shape[1]
     rois = jnp.concatenate([pb[0], jnp.zeros((k, 4))], axis=0)
     levels = pool_levels(rois, 4)
-    box_fn = scalarized(lambda p, f, r, lv: net.apply(p, f, r[None], lv[None],
-                                                   method=net.box_predict))
-    cl, bd = box_fn(params, feats, rois, levels)
-    print(f"box head (pool+mlp) {timed(box_fn, params, feats, rois, levels):8.2f} ms")
+    box_fn = scalarized(lambda p, f, r, lv, pk: net.apply(
+        p, f, r[None], lv[None], pk, method=net.box_predict))
+    cl, bd = box_fn(params, feats, rois, levels, pack)
+    print(f"box head (pool+mlp) {timed(box_fn, params, feats, rois, levels, pack):8.2f} ms")
 
     state = model.empty_state()
     feats1 = [f[0][None] for f in feats]
 
-    def emm_pool(f, boxes, sr):
-        return pool_search_region(f, boxes, sr, jnp.zeros((k,), jnp.int32),
-                                  ecfg)
+    def emm_pool(pk, boxes, sr):
+        return pool_search_region(None, boxes, sr,
+                                  jnp.zeros((k,), jnp.int32), ecfg,
+                                  pack=pk, window=model.window_sr)
     pool_fn = scalarized(emm_pool)
-    sr_feats = pool_fn(feats1, state.boxes, state.sr)
-    print(f"emm SR pool         {timed(pool_fn, feats1, state.boxes, state.sr):8.2f} ms")
+    sr_feats = pool_fn(pack, state.boxes, state.sr)
+    print(f"emm SR pool         {timed(pool_fn, pack, state.boxes, state.sr):8.2f} ms")
 
     emm_fn = scalarized(lambda p, s, t: net.apply(p, s, t,
                                                method=net.emm_predict))
     cls_l, ctr_l, reg_l = emm_fn(params, sr_feats, state.template)
     print(f"emm xcorr+predict   {timed(emm_fn, params, sr_feats, state.template):8.2f} ms")
 
-    def upsample_decode(cl_, ct_, rg_, sr, boxes):
-        cu = upsample_bicubic(cl_, UPSCALE)
-        tu = upsample_bicubic(ct_, UPSCALE)
-        ru = upsample_bicubic(rg_, UPSCALE)
-        loc = response_locations(sr, ecfg.sr_size, ecfg.resolution,
-                                 ecfg.pad_pixels, UPSCALE)
-        return decode_response(cu, tu, ru, loc, boxes, ecfg)
-    ud_fn = scalarized(upsample_decode)
+    ud_fn = scalarized(lambda cl_, ct_, rg_, sr, boxes: decode_response_fused(
+        cl_, ct_, rg_, sr, boxes, ecfg, UPSCALE))
     tb, tc = ud_fn(cls_l, ctr_l, reg_l, state.sr, state.boxes)
-    print(f"upsample+decode     {timed(ud_fn, cls_l, ctr_l, reg_l, state.sr, state.boxes):8.2f} ms")
+    print(f"fused decode        {timed(ud_fn, cls_l, ctr_l, reg_l, state.sr, state.boxes):8.2f} ms")
 
     dets = Boxes.empty(100)
     tracks = Boxes(boxes=jnp.zeros((k, 4)), scores=jnp.zeros((k,)),
@@ -126,11 +129,11 @@ def main():
     out = solve_fn(state, rows)
     print(f"solver              {timed(solve_fn, state, rows):8.2f} ms")
 
-    tmpl_fn = scalarized(lambda f, b: pool_template(f, b,
-                                                 jnp.zeros((k,), jnp.int32),
-                                                 ecfg))
-    tm = tmpl_fn(feats1, state.boxes)
-    print(f"template pool       {timed(tmpl_fn, feats1, state.boxes):8.2f} ms")
+    tmpl_fn = scalarized(lambda pk, b: pool_template(
+        None, b, jnp.zeros((k,), jnp.int32), ecfg, pack=pk,
+        window=model.window_template))
+    tm = tmpl_fn(pack, state.boxes)
+    print(f"template pool       {timed(tmpl_fn, pack, state.boxes):8.2f} ms")
 
     step = model.jit_step(image_size=(w, h))
     out, st = step(params, image, state)
