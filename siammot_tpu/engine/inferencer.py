@@ -58,8 +58,11 @@ def do_inference(cfg, model, params, sample: DataSample, transforms=None,
             given = entities_to_boxes(ents, GIVEN_DETECTION_CAPACITY,
                                       (in_w / w0, in_h / h0))
         t0 = time.perf_counter()
-        out, state = step(params, jax.numpy.asarray(x), state, given) \
-            if use_given else step(params, jax.numpy.asarray(x), state)
+        # annotation shows up in `jax.profiler.trace` captures; free otherwise
+        with jax.profiler.StepTraceAnnotation("track_frame",
+                                              step_num=frame_idx):
+            out, state = step(params, jax.numpy.asarray(x), state, given) \
+                if use_given else step(params, jax.numpy.asarray(x), state)
         pending.append((frame_idx, out))
         net_time += time.perf_counter() - t0
         n_frames += 1

@@ -62,8 +62,10 @@ def do_train(model, train_step, params, opt_state, data_loader, checkpointer,
         meters["data"].update(time.time() - end)
 
         rng, step_rng = jax.random.split(rng)
-        params, opt_state, metrics = train_step(params, opt_state, images,
-                                                gt, step_rng)
+        with jax.profiler.StepTraceAnnotation("train_step",
+                                              step_num=iteration):
+            params, opt_state, metrics = train_step(params, opt_state,
+                                                    images, gt, step_rng)
 
         if iteration % log_period == 0 or iteration == max_iter:
             host = {k: float(v) for k, v in metrics.items()}

@@ -32,14 +32,12 @@ from .emm_sampler import sample_track_pairs
 from .emm import emm_loss
 from .rpn import rpn_loss
 from .dla import build_dla
-from .emm import (EMMConfig, EMMHead, decode_response, decode_response_fused,
-                  make_search_region, pool_search_region, pool_template,
-                  response_locations)
+from .emm import (EMMConfig, EMMHead, decode_response_fused,
+                  make_search_region, pool_search_region, pool_template)
 from .fpn import FPN
 from .rpn import RPNConfig, RPNHead, base_anchors, grid_anchors, select_proposals
 from .track_solver import SolverConfig, solve
 from .track_state import TrackState, rebuild_state
-from ..ops.upsample import upsample_bicubic
 
 UPSCALE = 16  # reference upsamples response maps x16 (track_core.py:69-71)
 

@@ -27,8 +27,8 @@ through aspect ~1:5; the pool sites pick window sizes accordingly).
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,15 +36,18 @@ import numpy as np
 from .roi_align import _sample_positions
 
 
-class LevelPack(NamedTuple):
-    """Stacked FPN levels ready for windowed pooling."""
+@flax.struct.dataclass
+class LevelPack:
+    """Stacked FPN levels ready for windowed pooling.  ``scales`` and
+    ``num_levels`` are static (hashable) so a pack can cross jit
+    boundaries as an argument."""
 
     table: jnp.ndarray        # [R, Wmax, C]
     row_offsets: jnp.ndarray  # [B * L] block start rows
     heights: jnp.ndarray      # [L]
     widths: jnp.ndarray       # [L]
-    scales: tuple             # static per-level spatial scales
-    num_levels: int
+    scales: tuple = flax.struct.field(pytree_node=False)
+    num_levels: int = flax.struct.field(pytree_node=False)
 
 
 def pack_levels(features: list, scales: tuple) -> LevelPack:

@@ -89,8 +89,7 @@ def import_torch_checkpoint(path_or_state, params_template):
     else:
         state = path_or_state
     sd = {k.removeprefix("module."): np.asarray(v)
-          for k, v in state.items() if hasattr(v, "numpy") or
-          isinstance(v, np.ndarray)}
+          for k, v in state.items() if hasattr(v, "shape")}
 
     flat = _flatten(params_template)
     out = dict(flat)
@@ -195,6 +194,96 @@ def import_torch_checkpoint(path_or_state, params_template):
                        and "num_batches_tracked" not in k
                        and not k.startswith("fc."))
     return _unflatten(out), leftovers
+
+
+def export_torch_checkpoint(params) -> dict:
+    """Inverse of ``import_torch_checkpoint``: emit a reference-named
+    PyTorch state dict (OIHW convs, transposed FCs, FrozenBN unfolded with
+    running stats at identity).  Used for converter roundtrip testing and
+    for handing weights back to the reference implementation."""
+    flat = _flatten(params)
+    sd: dict = {}
+
+    def conv(tkey, jprefix):
+        sd[tkey + ".weight"] = np.transpose(
+            np.asarray(flat[jprefix + "/kernel"]), (3, 2, 0, 1))
+        if jprefix + "/bias" in flat:
+            sd[tkey + ".bias"] = np.asarray(flat[jprefix + "/bias"])
+
+    def bn(tkey, jprefix):
+        scale = np.asarray(flat[jprefix + "/scale"])
+        bias = np.asarray(flat[jprefix + "/bias"])
+        sd[tkey + ".weight"] = scale
+        sd[tkey + ".bias"] = bias
+        sd[tkey + ".running_mean"] = np.zeros_like(scale)
+        sd[tkey + ".running_var"] = np.ones_like(scale)
+
+    def dense(tkey, jprefix):
+        sd[tkey + ".weight"] = np.asarray(flat[jprefix + "/kernel"]).T
+        if jprefix + "/bias" in flat:
+            sd[tkey + ".bias"] = np.asarray(flat[jprefix + "/bias"])
+
+    def gn(tkey, jprefix):
+        sd[tkey + ".weight"] = np.asarray(flat[jprefix + "/scale"])
+        sd[tkey + ".bias"] = np.asarray(flat[jprefix + "/bias"])
+
+    body = "backbone.body."
+    conv(body + "base_layer.0", "params/body/base_conv")
+    bn(body + "base_layer.1", "params/body/base_bn")
+    for lvl in (0, 1):
+        i = 0
+        while f"params/body/level{lvl}_conv{i}/kernel" in flat:
+            conv(f"{body}level{lvl}.{3 * i}", f"params/body/level{lvl}_conv{i}")
+            bn(f"{body}level{lvl}.{3 * i + 1}", f"params/body/level{lvl}_bn{i}")
+            i += 1
+
+    def map_block(tprefix, jprefix):
+        for c in (1, 2, 3):
+            if f"{jprefix}/conv{c}/kernel" in flat:
+                conv(f"{tprefix}.conv{c}", f"{jprefix}/conv{c}")
+                bn(f"{tprefix}.bn{c}", f"{jprefix}/bn{c}")
+
+    def map_tree(tprefix, jprefix):
+        if f"{jprefix}/project_conv/kernel" in flat:
+            conv(f"{tprefix}.project.0", f"{jprefix}/project_conv")
+            bn(f"{tprefix}.project.1", f"{jprefix}/project_bn")
+        if f"{jprefix}/root/conv/kernel" in flat:  # leaf tree
+            map_block(f"{tprefix}.tree1", f"{jprefix}/tree1")
+            map_block(f"{tprefix}.tree2", f"{jprefix}/tree2")
+            conv(f"{tprefix}.root.conv", f"{jprefix}/root/conv")
+            bn(f"{tprefix}.root.bn", f"{jprefix}/root/bn")
+        else:
+            map_tree(f"{tprefix}.tree1", f"{jprefix}/tree1")
+            map_tree(f"{tprefix}.tree2", f"{jprefix}/tree2")
+
+    for lvl in (2, 3, 4, 5):
+        map_tree(f"{body}level{lvl}", f"params/body/level{lvl}")
+
+    for i in (1, 2, 3, 4):
+        conv(f"backbone.fpn.fpn_inner{i}", f"params/fpn/inner{i}")
+        conv(f"backbone.fpn.fpn_layer{i}", f"params/fpn/layer{i}")
+
+    conv("rpn.head.conv", "params/rpn/conv")
+    conv("rpn.head.cls_logits", "params/rpn/cls_logits")
+    conv("rpn.head.bbox_pred", "params/rpn/bbox_pred")
+
+    fx = "roi_heads.box.feature_extractor."
+    dense(fx + "fc6", "params/box/feature_extractor/fc6")
+    dense(fx + "fc7", "params/box/feature_extractor/fc7")
+    dense("roi_heads.box.predictor.cls_score",
+          "params/box/predictor/cls_score")
+    dense("roi_heads.box.predictor.bbox_pred",
+          "params/box/predictor/bbox_pred")
+
+    tp = "roi_heads.track.tracker.predictor."
+    conv(tp + "cls_tower.0", "params/emm/predictor/cls_tower_conv")
+    gn(tp + "cls_tower.1", "params/emm/predictor/cls_tower_gn")
+    conv(tp + "reg_tower.0", "params/emm/predictor/reg_tower_conv")
+    gn(tp + "reg_tower.1", "params/emm/predictor/reg_tower_gn")
+    conv(tp + "cls.0", "params/emm/predictor/cls")
+    conv(tp + "center.0", "params/emm/predictor/center")
+    conv(tp + "reg.0", "params/emm/predictor/reg")
+    return sd
 
 
 def _flatten(tree, prefix=""):

@@ -1,0 +1,53 @@
+"""Checkpointer + torch state-dict converter roundtrip."""
+
+import jax
+import numpy as np
+
+from siammot_tpu.configs.defaults import get_cfg
+from siammot_tpu.models.siammot import SiamMOT
+from siammot_tpu.utils.checkpoint import (Checkpointer,
+                                          export_torch_checkpoint,
+                                          import_torch_checkpoint)
+
+
+def _small_model():
+    cfg = get_cfg()
+    cfg.TPU.MAX_TRACKS = 4
+    cfg.freeze()
+    model = SiamMOT(cfg)
+    params = model.init_params(jax.random.PRNGKey(42), (64, 96))
+    return model, params
+
+
+def test_torch_roundtrip():
+    _, params = _small_model()
+    sd = export_torch_checkpoint(params)
+    assert len(sd) > 200          # DLA-34: ~80 conv/bn pairs + heads
+    # import into a ZEROED template: any param the mapping misses (in
+    # either direction) stays zero and fails the comparison below
+    zero_template = jax.tree.map(np.zeros_like, params)
+    restored, leftovers = import_torch_checkpoint(sd, zero_template)
+    assert leftovers == []
+    restored_map = {jax.tree_util.keystr(p): v for p, v
+                    in jax.tree_util.tree_leaves_with_path(restored)}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(np.asarray(leaf),
+                                   np.asarray(restored_map[key]),
+                                   rtol=1e-6, atol=1e-6, err_msg=key)
+
+
+def test_orbax_save_load(tmp_path):
+    _, params = _small_model()
+    ckptr = Checkpointer(str(tmp_path))
+    ckptr.save(7, params, opt_state=None)
+    assert ckptr.latest().endswith("model_0000007")
+    restored = ckptr.load(None, like={"params": params, "opt_state": None,
+                                      "iteration": 0})
+    assert restored["iteration"] == 7
+    a = jax.tree.leaves(params)[0]
+    b = jax.tree.leaves(restored["params"])[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    ckptr.save(9, params, opt_state=None, tag="model_final")
+    assert ckptr.latest().endswith("model_final")

@@ -1,0 +1,70 @@
+"""Demo pipeline utilities: vis generator, writer, video iterator."""
+
+import os
+import sys
+
+import cv2
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+
+from demos.utils.vis_generator import VisGenerator  # noqa: E402
+from demos.utils.vis_writer import VisWriter  # noqa: E402
+from demos.video_iterator import build_video_iterator  # noqa: E402
+
+
+def test_vis_generator_draws_tracks_only():
+    gen = VisGenerator()
+    frame = np.zeros((100, 160, 3), np.uint8)
+    boxes = np.array([[10, 10, 50, 60], [80, 20, 120, 70]], np.float32)
+    ids = np.array([3, -1])     # second row is a raw detection: not drawn
+    labels = np.array([1, 1])
+    out = gen.frame_vis_generator(frame.copy(), boxes, ids, labels)
+    assert out.shape == frame.shape
+    assert out[10:60, 10:50].sum() > 0          # track drawn
+    assert out[35:60, 85:115].sum() == 0        # detection interior untouched
+
+
+def test_vis_generator_rescales():
+    gen = VisGenerator(vis_height=50)
+    frame = np.zeros((100, 160, 3), np.uint8)
+    out = gen.frame_vis_generator(frame, np.zeros((0, 4), np.float32),
+                                  np.zeros(0, int), np.zeros(0, int))
+    assert out.shape[0] == 50 and out.shape[1] == 80
+
+
+def test_vis_writer_frames_and_video(tmp_path):
+    w = VisWriter(dump_video=False, out_path=str(tmp_path), file_name="clip")
+    w.dump_artifacts(np.zeros((40, 60, 3), np.uint8), 0)
+    w.dump_artifacts(np.zeros((40, 60, 3), np.uint8), 1)
+    assert len(os.listdir(tmp_path / "clip_frames")) == 2
+
+    wv = VisWriter(dump_video=True, out_path=str(tmp_path), file_name="c.mp4")
+    for i in range(3):
+        wv.dump_artifacts(np.zeros((40, 60, 3), np.uint8), i)
+    wv.close()
+    assert os.path.getsize(tmp_path / "c.mp4") > 0
+
+
+def test_video_iterator_folder(tmp_path):
+    for i in range(3):
+        cv2.imwrite(str(tmp_path / f"{i:03d}.jpg"),
+                    np.full((20, 30, 3), 50 * i, np.uint8))
+    it = build_video_iterator(str(tmp_path))
+    assert it.frame_count == 3
+    frames = list(it)
+    assert frames[0][0] == 0 and frames[2][0] == 2
+    assert frames[1][1].shape == (20, 30, 3)
+
+
+def test_video_iterator_file(tmp_path):
+    path = str(tmp_path / "v.mp4")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (32, 24))
+    for i in range(4):
+        vw.write(np.full((24, 32, 3), 60 * i, np.uint8))
+    vw.release()
+    it = build_video_iterator(path)
+    frames = list(it)
+    assert len(frames) == 4
+    assert frames[0][1].shape == (24, 32, 3)
