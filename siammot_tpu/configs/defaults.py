@@ -212,6 +212,9 @@ _C.TPU.POOLER_WINDOWED = True
 _C.TPU.WINDOW_BOX = 64
 _C.TPU.WINDOW_TEMPLATE = 64
 _C.TPU.WINDOW_SR = 128
+# stacked-table dtype for the windowed pooler ("bfloat16" halves the
+# per-ROI window DMA; pooled outputs are always f32-accumulated)
+_C.TPU.POOLER_DTYPE = "bfloat16"
 # device mesh axis sizes for data parallelism (0 = all available devices)
 _C.TPU.DATA_PARALLEL = 0
 

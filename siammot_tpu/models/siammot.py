@@ -201,7 +201,8 @@ class SiamMOT:
         if self.windowed:
             from ..ops.roi_align_windowed import pack_levels
             pack = pack_levels(feats[:len(self.net.box_scales)],
-                               self.net.box_scales)
+                               self.net.box_scales,
+                               dtype=jnp.dtype(self.cfg.TPU.POOLER_DTYPE))
 
         # ---- proposals
         if given is None:

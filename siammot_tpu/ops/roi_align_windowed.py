@@ -50,9 +50,15 @@ class LevelPack:
     num_levels: int = flax.struct.field(pytree_node=False)
 
 
-def pack_levels(features: list, scales: tuple) -> LevelPack:
-    """Build a LevelPack from per-level [B, Hi, Wi, C] maps (one copy)."""
+def pack_levels(features: list, scales: tuple, dtype=None) -> LevelPack:
+    """Build a LevelPack from per-level [B, Hi, Wi, C] maps (one copy).
+
+    ``dtype=bfloat16`` halves the per-ROI window DMA of the Pallas pooler
+    (pooled outputs are always f32-accumulated).
+    """
     table, offsets, heights, widths = stack_levels(features)
+    if dtype is not None:
+        table = table.astype(dtype)
     return LevelPack(table=table, row_offsets=jnp.asarray(offsets),
                      heights=jnp.asarray(heights),
                      widths=jnp.asarray(widths), scales=tuple(scales),
@@ -61,13 +67,22 @@ def pack_levels(features: list, scales: tuple) -> LevelPack:
 
 def windowed_pool(pack: LevelPack, rois: jnp.ndarray, img_idx: jnp.ndarray,
                   levels: jnp.ndarray, output_size: int, sampling_ratio: int,
-                  window: int, pad_pixels: int = 0) -> jnp.ndarray:
-    """FPN pooling over a LevelPack (drop-in for the gather pooler)."""
+                  window: int, pad_pixels: int = 0,
+                  backend: str = "auto") -> jnp.ndarray:
+    """FPN pooling over a LevelPack (drop-in for the gather pooler).
+
+    backend "auto": the fused Pallas kernel on TPU (windows stay in VMEM),
+    the XLA formulation elsewhere.
+    """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() in ("tpu", "axon") \
+            else "xla"
     scales = jnp.asarray(np.array(pack.scales, np.float32))[levels]
     return roi_align_windowed(
         pack.table, pack.row_offsets, pack.heights, pack.widths, rois,
         img_idx * pack.num_levels + levels, scales, output_size,
-        sampling_ratio, window, pad_pixels, pack.num_levels)
+        sampling_ratio, window, pad_pixels, pack.num_levels,
+        backend=backend)
 
 
 def stack_levels(features: list, img_idx_levels: int = None):
@@ -140,13 +155,15 @@ def _axis_weights(pos, size_real, pad, origin, window: int):
 
 
 @partial(jax.jit, static_argnames=("output_size", "sampling_ratio",
-                                   "window", "pad_pixels", "num_levels"))
+                                   "window", "pad_pixels", "num_levels",
+                                   "backend"))
 def roi_align_windowed(table: jnp.ndarray, row_offsets: jnp.ndarray,
                        heights: jnp.ndarray, widths: jnp.ndarray,
                        rois: jnp.ndarray, block_idx: jnp.ndarray,
                        scales: jnp.ndarray, output_size: int,
                        sampling_ratio: int, window: int,
-                       pad_pixels: int = 0, num_levels: int = 4):
+                       pad_pixels: int = 0, num_levels: int = 4,
+                       backend: str = "xla"):
     """ROIAlign over a stacked level table.
 
     Args:
@@ -194,22 +211,28 @@ def roi_align_windowed(table: jnp.ndarray, row_offsets: jnp.ndarray,
         return jnp.clip(o, 0, jnp.maximum(size - window, 0))
 
     oy = origin(ys, pads, h_arr)
-    ox = origin(xs, pads, w_arr)
+    # column origins 8-aligned: VMEM memref slices on the sublane dim must
+    # start at a tile boundary (Mosaic); costs <= 7 columns of slack
+    ox = (origin(xs, pads, w_arr) // 8) * 8
 
     wy = _axis_weights(ys, h_arr, pads, oy, window)      # [N, S, win]
     wx = _axis_weights(xs, w_arr, pads, ox, window)
 
-    # one contiguous block load per ROI
-    def load(roi_row0, roi_ox):
-        return jax.lax.dynamic_slice(
-            table, (roi_row0, roi_ox, 0), (window, window, c))
+    if backend == "pallas":
+        from .pallas.window_pool import window_pool_pallas
+        origins = jnp.stack([row0 + oy, ox], axis=-1).astype(jnp.int32)
+        acc = window_pool_pallas(table, origins, wy, wx, window)
+    else:
+        # one contiguous block load per ROI
+        def load(roi_row0, roi_ox):
+            return jax.lax.dynamic_slice(
+                table, (roi_row0, roi_ox, 0), (window, window, c))
 
-    windows = jax.vmap(load)(row0 + oy, ox)              # [N, win, win, C]
-
-    tmp = jnp.einsum("nsh,nhwc->nswc", wy, windows,
-                     preferred_element_type=jnp.float32)
-    acc = jnp.einsum("ntw,nswc->nstc", wx, tmp,
-                     preferred_element_type=jnp.float32)
+        windows = jax.vmap(load)(row0 + oy, ox)          # [N, win, win, C]
+        tmp = jnp.einsum("nsh,nhwc->nswc", wy, windows,
+                         preferred_element_type=jnp.float32)
+        acc = jnp.einsum("ntw,nswc->nstc", wx, tmp,
+                         preferred_element_type=jnp.float32)
     acc = acc.reshape(n, output_size, sampling_ratio, output_size,
                       sampling_ratio, c)
-    return acc.mean(axis=(2, 4)).astype(table.dtype)
+    return acc.mean(axis=(2, 4)).astype(jnp.float32)

@@ -15,6 +15,7 @@ def _cfg(windowed: bool):
     cfg.MODEL.RPN.FPN_POST_NMS_TOP_N_TEST = 16
     cfg.TPU.MAX_TRACKS = 4
     cfg.TPU.POOLER_WINDOWED = windowed
+    cfg.TPU.POOLER_DTYPE = "float32"  # exact-parity comparison
     cfg.freeze()
     return cfg
 
