@@ -215,6 +215,9 @@ _C.TPU.WINDOW_SR = 128
 # stacked-table dtype for the windowed pooler ("bfloat16" halves the
 # per-ROI window DMA; pooled outputs are always f32-accumulated)
 _C.TPU.POOLER_DTYPE = "bfloat16"
+# space-to-depth DLA stem: exact rewrite of the 3 full-resolution
+# low-channel stem convs into half-res 4x-channel convs (models/dla.py)
+_C.TPU.S2D_STEM = True
 # device mesh axis sizes for data parallelism (0 = all available devices)
 _C.TPU.DATA_PARALLEL = 0
 

@@ -168,6 +168,136 @@ class Tree(nn.Module):
                     name="tree2")(x1, children=children)
 
 
+class S2DStem(nn.Module):
+    """Space-to-depth DLA stem: exact phase-decomposed rewrite of
+    base(7x7 s1) -> level0(3x3 s1) -> level1(3x3 s2).
+
+    The three stem convs run at full input resolution with 3/16/16 input
+    channels — 8x under-utilizing the 128 MXU/VPU lanes and costing more
+    wall-clock than the entire rest of DLA-34 at 720p.  Splitting the
+    image into 2x2 phase channels ([H, W, 3] -> [H/2, W/2, 12]) and
+    re-indexing each kernel by phase turns them into half-resolution
+    convs over 12/64/64 channels producing *bit-equivalent* outputs
+    (``stem_to_s2d`` maps standard weights; zero taps fill positions a
+    phase never reads).  level1's stride-2 output lands exactly on the
+    phase grid, so its S2D form needs no output phases.
+    """
+
+    c0: int   # channels[0] of the variant (16)
+    c1: int   # channels[1] (32)
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        assert h % 2 == 0 and w % 2 == 0
+        # [B, H, W, C] -> [B, H/2, W/2, 4C], channel order (a, b, c)
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+        x = nn.Conv(4 * self.c0, (5, 5), padding=((2, 2), (2, 2)),
+                    use_bias=False, name="s2d_base_conv")(x)
+        x = nn.relu(FrozenBN(4 * self.c0, name="s2d_base_bn")(x))
+        x = nn.Conv(4 * self.c0, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, name="s2d_level0_conv")(x)
+        x = nn.relu(FrozenBN(4 * self.c0, name="s2d_level0_bn")(x))
+        # stride-2 conv -> 2x2 taps over phases, asymmetric pad (1, 0)
+        x = nn.Conv(self.c1, (2, 2), padding=((1, 0), (1, 0)),
+                    use_bias=False, name="s2d_level1_conv")(x)
+        x = nn.relu(FrozenBN(self.c1, name="s2d_level1_bn")(x))
+        return x
+
+
+def _phase_decompose(kernel: "np.ndarray", pad: int, out_phases: bool):
+    """Standard [kh, kw, ci, co] stride-1 kernel -> S2D kernel.
+
+    S2D input channels are ordered (alpha, beta, c); output channels
+    (a, b, o) when ``out_phases`` (stride-1 full-res output) else plain o
+    (stride-2 output on the phase grid, i.e. a = b = 0).
+    """
+    import numpy as np
+    kh, kw, ci, co = kernel.shape
+    a_range = (0, 1) if out_phases else (0,)
+    # tap index s = a + u - pad = 2U + alpha
+    s_lo = min(a_range) - pad
+    s_hi = max(a_range) + kh - 1 - pad
+    u_lo, u_hi = s_lo >> 1, s_hi >> 1
+    kh2 = u_hi - u_lo + 1
+    n_out = 4 * co if out_phases else co
+    out = np.zeros((kh2, kh2, 4 * ci, n_out), kernel.dtype)
+    for a in a_range:
+        for b_ in a_range:
+            for u in range(kh):
+                for v in range(kw):
+                    sy, sx = a + u - pad, b_ + v - pad
+                    uy, al = sy >> 1, sy & 1
+                    ux, be = sx >> 1, sx & 1
+                    oc = slice((a * 2 + b_) * co, (a * 2 + b_ + 1) * co) \
+                        if out_phases else slice(0, co)
+                    ic = slice((al * 2 + be) * ci, (al * 2 + be + 1) * ci)
+                    out[uy - u_lo, ux - u_lo, ic, oc] = kernel[u, v]
+    return out, (-u_lo, u_hi)
+
+
+def stem_to_s2d(base_k, base_bn, l0_k, l0_bn, l1_k, l1_bn):
+    """Map standard stem weights (HWIO kernels + {scale, bias} FrozenBN
+    pairs) onto the S2DStem parameter tree.  Exact."""
+    import numpy as np
+
+    def tile_bn(bn):
+        return {"scale": np.tile(np.asarray(bn["scale"]), 4),
+                "bias": np.tile(np.asarray(bn["bias"]), 4)}
+
+    k_base, _ = _phase_decompose(np.asarray(base_k), pad=3, out_phases=True)
+    k_l0, _ = _phase_decompose(np.asarray(l0_k), pad=1, out_phases=True)
+    k_l1, _ = _phase_decompose(np.asarray(l1_k), pad=1, out_phases=False)
+    return {
+        "s2d_base_conv": {"kernel": k_base},
+        "s2d_base_bn": tile_bn(base_bn),
+        "s2d_level0_conv": {"kernel": k_l0},
+        "s2d_level0_bn": tile_bn(l0_bn),
+        "s2d_level1_conv": {"kernel": k_l1},
+        "s2d_level1_bn": {"scale": np.asarray(l1_bn["scale"]),
+                          "bias": np.asarray(l1_bn["bias"])},
+    }
+
+
+def s2d_to_stem(s2d: dict, c0: int, c1: int):
+    """Inverse of ``stem_to_s2d``: recover the standard stem weights.
+    Every original tap appears once in each output-phase block, so the
+    (a, b) = (0, 0) block suffices."""
+    import numpy as np
+
+    def un_phase(k2, kh, pad, ci, co, out_phases):
+        k = np.zeros((kh, kh, ci, co), np.asarray(k2).dtype)
+        s_lo = -pad
+        u_lo = s_lo >> 1
+        for u in range(kh):
+            for v in range(kh):
+                sy, sx = u - pad, v - pad
+                uy, al = sy >> 1, sy & 1
+                ux, be = sx >> 1, sx & 1
+                ic = slice((al * 2 + be) * ci, (al * 2 + be + 1) * ci)
+                k[u, v] = np.asarray(k2)[uy - u_lo, ux - u_lo, ic, :co]
+        return k
+
+    def untile_bn(bn, c):
+        return {"scale": np.asarray(bn["scale"])[:c],
+                "bias": np.asarray(bn["bias"])[:c]}
+
+    return {
+        "base_conv": {"kernel": un_phase(
+            s2d["s2d_base_conv"]["kernel"], 7, 3, 3, c0, True)},
+        "base_bn": untile_bn(s2d["s2d_base_bn"], c0),
+        "level0_conv0": {"kernel": un_phase(
+            s2d["s2d_level0_conv"]["kernel"], 3, 1, c0, c0, True)},
+        "level0_bn0": untile_bn(s2d["s2d_level0_bn"], c0),
+        "level1_conv0": {"kernel": un_phase(
+            s2d["s2d_level1_conv"]["kernel"], 3, 1, c0, c1, False)},
+        "level1_bn0": {"scale": np.asarray(s2d["s2d_level1_bn"]["scale"]),
+                       "bias": np.asarray(s2d["s2d_level1_bn"]["bias"])},
+    }
+
+
 class DLA(nn.Module):
     """DLA feature extractor returning strides 4/8/16/32 maps."""
 
@@ -177,6 +307,7 @@ class DLA(nn.Module):
     residual_root: bool = False
     block_kwargs: dict | None = None
     stage_with_dcn: Sequence[bool] = (False,) * 6
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -190,18 +321,22 @@ class DLA(nn.Module):
                 return dict(bk, with_dcn=True)
             return bk
 
-        x = conv(ch[0], 7, 1, name="base_conv")(x)
-        x = nn.relu(FrozenBN(ch[0], name="base_bn")(x))
+        if self.s2d_stem:
+            assert self.levels[0] == self.levels[1] == 1
+            x1 = S2DStem(ch[0], ch[1], name="stem")(x)
+        else:
+            x = conv(ch[0], 7, 1, name="base_conv")(x)
+            x = nn.relu(FrozenBN(ch[0], name="base_bn")(x))
 
-        def conv_level(x, planes, convs, stride, name):
-            for i in range(convs):
-                x = conv(planes, 3, stride if i == 0 else 1,
-                         name=f"{name}_conv{i}")(x)
-                x = nn.relu(FrozenBN(planes, name=f"{name}_bn{i}")(x))
-            return x
+            def conv_level(x, planes, convs, stride, name):
+                for i in range(convs):
+                    x = conv(planes, 3, stride if i == 0 else 1,
+                             name=f"{name}_conv{i}")(x)
+                    x = nn.relu(FrozenBN(planes, name=f"{name}_bn{i}")(x))
+                return x
 
-        x0 = conv_level(x, ch[0], self.levels[0], 1, "level0")
-        x1 = conv_level(x0, ch[1], self.levels[1], 2, "level1")
+            x0 = conv_level(x, ch[0], self.levels[0], 1, "level0")
+            x1 = conv_level(x0, ch[1], self.levels[1], 2, "level1")
         x2 = Tree(self.levels[2], self.block, ch[1], ch[2], 2,
                   root_residual=self.residual_root,
                   block_kwargs=stage_kwargs(2),
@@ -241,9 +376,10 @@ DLA_VARIANTS = {
 }
 
 
-def build_dla(conv_body: str, stage_with_dcn=(False,) * 6) -> DLA:
+def build_dla(conv_body: str, stage_with_dcn=(False,) * 6,
+              s2d_stem: bool = False) -> DLA:
     if conv_body not in DLA_VARIANTS:
         raise KeyError(f"unknown backbone {conv_body}; "
                        f"choices: {sorted(DLA_VARIANTS)}")
-    return DLA(stage_with_dcn=tuple(stage_with_dcn),
+    return DLA(stage_with_dcn=tuple(stage_with_dcn), s2d_stem=s2d_stem,
                **DLA_VARIANTS[conv_body])

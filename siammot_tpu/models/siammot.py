@@ -33,7 +33,8 @@ from .emm import emm_loss
 from .rpn import rpn_loss
 from .dla import build_dla
 from .emm import (EMMConfig, EMMHead, decode_response_fused,
-                  make_search_region, pool_search_region, pool_template)
+                  make_search_region, pool_search_region, pool_template,
+                  response_locations)
 from .fpn import FPN
 from .rpn import RPNConfig, RPNHead, base_anchors, grid_anchors, select_proposals
 from .track_solver import SolverConfig, solve
@@ -56,9 +57,11 @@ class SiamMOTNet(nn.Module):
     compute_dtype: str = "float32"
     use_pallas: bool = True
     stage_with_dcn: tuple = (False,) * 6
+    s2d_stem: bool = False
 
     def setup(self):
-        self.body = build_dla(self.conv_body, self.stage_with_dcn)
+        self.body = build_dla(self.conv_body, self.stage_with_dcn,
+                              self.s2d_stem)
         self.fpn = FPN(self.fpn_channels)
         self.rpn = RPNHead(self.num_anchors)
         self.box = BoxHead(self.box_resolution, self.box_scales,
@@ -129,6 +132,7 @@ class SiamMOT:
             compute_dtype=cfg.TPU.COMPUTE_DTYPE,
             use_pallas=cfg.TPU.USE_PALLAS,
             stage_with_dcn=tuple(cfg.MODEL.DLA.STAGE_WITH_DCN),
+            s2d_stem=cfg.TPU.S2D_STEM,
         )
 
         self._cell_anchors = [

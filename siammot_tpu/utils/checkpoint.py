@@ -132,14 +132,37 @@ def import_torch_checkpoint(path_or_state, params_template):
 
     # ---- DLA body
     body = "backbone.body."
-    conv(body + "base_layer.0", "params/body/base_conv")
-    bn(body + "base_layer.1", "params/body/base_bn")
-    for lvl in (0, 1):
-        i = 0
-        while f"{body}level{lvl}.{3 * i}.weight" in sd:
-            conv(f"{body}level{lvl}.{3 * i}", f"params/body/level{lvl}_conv{i}")
-            bn(f"{body}level{lvl}.{3 * i + 1}", f"params/body/level{lvl}_bn{i}")
-            i += 1
+    if "params/body/stem/s2d_base_conv/kernel" in flat:
+        # model uses the space-to-depth stem: phase-decompose the stem
+        # weights (exact; see models/dla.py stem_to_s2d)
+        from ..models.dla import stem_to_s2d
+        s2d = stem_to_s2d(
+            _conv_kernel(sd[body + "base_layer.0.weight"]),
+            fold_frozen_bn(sd, body + "base_layer.1"),
+            _conv_kernel(sd[body + "level0.0.weight"]),
+            fold_frozen_bn(sd, body + "level0.1"),
+            _conv_kernel(sd[body + "level1.0.weight"]),
+            fold_frozen_bn(sd, body + "level1.1"))
+        for mod, payload in s2d.items():
+            for leaf, val in payload.items():
+                put(f"params/body/stem/{mod}/{leaf}", val)
+        for t in ("base_layer.0.weight", "level0.0.weight",
+                  "level1.0.weight"):
+            used.add(body + t)
+        for t in ("base_layer.1", "level0.1", "level1.1"):
+            for suf in (".weight", ".bias", ".running_mean", ".running_var"):
+                used.add(body + t + suf)
+    else:
+        conv(body + "base_layer.0", "params/body/base_conv")
+        bn(body + "base_layer.1", "params/body/base_bn")
+        for lvl in (0, 1):
+            i = 0
+            while f"{body}level{lvl}.{3 * i}.weight" in sd:
+                conv(f"{body}level{lvl}.{3 * i}",
+                     f"params/body/level{lvl}_conv{i}")
+                bn(f"{body}level{lvl}.{3 * i + 1}",
+                   f"params/body/level{lvl}_bn{i}")
+                i += 1
 
     def map_block(tprefix: str, jprefix: str):
         for c in (1, 2, 3):
@@ -228,14 +251,45 @@ def export_torch_checkpoint(params) -> dict:
         sd[tkey + ".bias"] = np.asarray(flat[jprefix + "/bias"])
 
     body = "backbone.body."
-    conv(body + "base_layer.0", "params/body/base_conv")
-    bn(body + "base_layer.1", "params/body/base_bn")
-    for lvl in (0, 1):
-        i = 0
-        while f"params/body/level{lvl}_conv{i}/kernel" in flat:
-            conv(f"{body}level{lvl}.{3 * i}", f"params/body/level{lvl}_conv{i}")
-            bn(f"{body}level{lvl}.{3 * i + 1}", f"params/body/level{lvl}_bn{i}")
-            i += 1
+    if "params/body/stem/s2d_base_conv/kernel" in flat:
+        from ..models.dla import s2d_to_stem
+        s2d_tree = {}
+        for mod in ("s2d_base_conv", "s2d_base_bn", "s2d_level0_conv",
+                    "s2d_level0_bn", "s2d_level1_conv", "s2d_level1_bn"):
+            s2d_tree[mod] = {
+                leaf.rsplit("/", 1)[1]: np.asarray(flat[leaf])
+                for leaf in flat if leaf.startswith(
+                    f"params/body/stem/{mod}/")}
+        c0 = s2d_tree["s2d_base_bn"]["scale"].shape[0] // 4
+        c1 = s2d_tree["s2d_level1_bn"]["scale"].shape[0]
+        std = s2d_to_stem(s2d_tree, c0, c1)
+
+        def put_std(tkey_conv, tkey_bn, mod_conv, mod_bn):
+            sd[tkey_conv + ".weight"] = np.transpose(
+                std[mod_conv]["kernel"], (3, 2, 0, 1))
+            s = std[mod_bn]["scale"]
+            sd[tkey_bn + ".weight"] = s
+            sd[tkey_bn + ".bias"] = std[mod_bn]["bias"]
+            sd[tkey_bn + ".running_mean"] = np.zeros_like(s)
+            sd[tkey_bn + ".running_var"] = np.ones_like(s)
+
+        put_std(body + "base_layer.0", body + "base_layer.1",
+                "base_conv", "base_bn")
+        put_std(body + "level0.0", body + "level0.1",
+                "level0_conv0", "level0_bn0")
+        put_std(body + "level1.0", body + "level1.1",
+                "level1_conv0", "level1_bn0")
+    else:
+        conv(body + "base_layer.0", "params/body/base_conv")
+        bn(body + "base_layer.1", "params/body/base_bn")
+        for lvl in (0, 1):
+            i = 0
+            while f"params/body/level{lvl}_conv{i}/kernel" in flat:
+                conv(f"{body}level{lvl}.{3 * i}",
+                     f"params/body/level{lvl}_conv{i}")
+                bn(f"{body}level{lvl}.{3 * i + 1}",
+                   f"params/body/level{lvl}_bn{i}")
+                i += 1
 
     def map_block(tprefix, jprefix):
         for c in (1, 2, 3):
