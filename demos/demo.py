@@ -17,6 +17,9 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from siammot_tpu.utils.platform import ensure_requested_platform  # noqa: E402
+ensure_requested_platform()
+
 from demos.demo_inference import DemoInference  # noqa: E402
 from demos.utils.vis_generator import VisGenerator  # noqa: E402
 from demos.utils.vis_writer import VisWriter  # noqa: E402

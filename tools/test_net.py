@@ -20,6 +20,10 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+from siammot_tpu.utils.platform import ensure_requested_platform
+ensure_requested_platform()
+
+
 def main():
     parser = argparse.ArgumentParser(description="SiamMOT-TPU inference")
     parser.add_argument("--config-file", required=True)

@@ -87,6 +87,10 @@ def train(cfg, output_dir: str, logger):
              start_iter=start_iter, tensorboard_writer=tb)
 
 
+from siammot_tpu.utils.platform import ensure_requested_platform
+ensure_requested_platform()
+
+
 def main():
     parser = argparse.ArgumentParser(description="SiamMOT-TPU training")
     parser.add_argument("--config-file", required=True)
