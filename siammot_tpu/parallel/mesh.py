@@ -47,7 +47,8 @@ def make_lr_schedule(cfg):
     def schedule(it):
         it = jnp.asarray(it, jnp.float32)
         alpha = jnp.clip(it / max(wi, 1), 0.0, 1.0)
-        warm = wf * (1 - alpha) + alpha
+        # maskrcnn WarmupMultiStepLR: factor 1 once it >= warmup_iters
+        warm = jnp.where(it >= wi, 1.0, wf * (1 - alpha) + alpha)
         decay = jnp.asarray(1.0)
         for s in steps:
             decay = decay * jnp.where(it >= s, gamma, 1.0)

@@ -13,7 +13,12 @@ import os
 
 
 def ensure_requested_platform():
+    import jax
     want = os.environ.get("JAX_PLATFORMS")
     if want:
-        import jax
         jax.config.update("jax_platforms", want)
+    # persistent compile cache: compiles go through a remote service on
+    # the tunneled-TPU image and take minutes — cache them across runs
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
