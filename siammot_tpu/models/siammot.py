@@ -327,8 +327,12 @@ class SiamMOT:
             jnp.mean, rpn_fn(rngs[:b], logits, deltas, gt))
 
         # ---- proposals + append gt (maskrcnn add_gt_proposals)
-        pb, ps, pv = select_proposals(logits, deltas, anchors, image_size,
-                                      rcfg)
+        # proposals are data, not a differentiable function of the RPN
+        # (the reference builds them in the no-grad inference post-proc);
+        # without this, pooling would leak gradients into RPN deltas
+        # through the ROI coordinates
+        pb, ps, pv = jax.lax.stop_gradient(
+            select_proposals(logits, deltas, anchors, image_size, rcfg))
         g_cap = gt.boxes.shape[1]
         m = pb.shape[1] + g_cap
         props = Boxes(

@@ -17,14 +17,44 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.custom_vjp
 def xcorr_depthwise_auto(search: jnp.ndarray,
                          template: jnp.ndarray) -> jnp.ndarray:
     """Dispatch: fused Pallas kernel on TPU, pure-XLA fallback elsewhere
-    (CPU-mesh tests / dryruns run the same numerics via the fallback)."""
+    (CPU-mesh tests / dryruns run the same numerics via the fallback).
+
+    Carries a custom VJP (Pallas kernels have none): with
+    ``out[p] = sum_i s[p+i] * t[i]`` per (batch, channel) lane,
+
+      * d_t = xcorr(s, g)                       — g slides over the search;
+      * d_s[y] = sum_i g[y-i] * t[i]            — a depthwise *convolution*,
+        i.e. xcorr of zero-padded g with the spatially flipped template.
+    """
+    return _xcorr_impl(search, template)
+
+
+def _xcorr_impl(search, template):
     if jax.default_backend() in ("tpu", "axon"):
         from .pallas.xcorr import xcorr_depthwise_pallas
         return xcorr_depthwise_pallas(search, template)
     return xcorr_depthwise(search, template)
+
+
+def _xcorr_fwd(search, template):
+    return _xcorr_impl(search, template), (search, template)
+
+
+def _xcorr_bwd(res, g):
+    search, template = res
+    _, ht, wt, _ = template.shape
+    d_template = _xcorr_impl(search, g).astype(template.dtype)
+    g_pad = jnp.pad(g, ((0, 0), (ht - 1, ht - 1), (wt - 1, wt - 1), (0, 0)))
+    d_search = _xcorr_impl(g_pad,
+                           template[:, ::-1, ::-1, :]).astype(search.dtype)
+    return d_search, d_template
+
+
+xcorr_depthwise_auto.defvjp(_xcorr_fwd, _xcorr_bwd)
 
 
 def xcorr_depthwise(search: jnp.ndarray, template: jnp.ndarray) -> jnp.ndarray:

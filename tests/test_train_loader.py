@@ -1,0 +1,67 @@
+"""IterationLoader: determinism, shapes, prefetch."""
+
+import json
+import os
+
+import cv2
+import numpy as np
+
+from siammot_tpu.configs.defaults import get_cfg
+from siammot_tpu.data.build import build_train_data_loader
+
+
+def _make_coco(tmp_path, n=4):
+    img_dir = tmp_path / "mscoco" / "images" / "train2017"
+    ann_dir = tmp_path / "mscoco" / "annotations"
+    img_dir.mkdir(parents=True)
+    ann_dir.mkdir(parents=True)
+    images, annotations = [], []
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        cv2.imwrite(str(img_dir / f"im{i}.jpg"),
+                    rng.randint(0, 255, (60, 80, 3), np.uint8))
+        images.append(dict(id=i, file_name=f"im{i}.jpg", width=80, height=60))
+        annotations.append(dict(id=i, image_id=i, category_id=1,
+                                bbox=[10, 10, 30, 30], iscrowd=0, area=900))
+    (ann_dir / "MSCOCO2017_train_person.json").write_text(json.dumps(
+        dict(images=images, annotations=annotations,
+             categories=[dict(id=1, name="person")])))
+
+
+def test_loader_deterministic_and_shaped(tmp_path):
+    _make_coco(tmp_path)
+    cfg = get_cfg()
+    cfg.INPUT.MIN_SIZE_TRAIN = (64,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 96
+    cfg.SOLVER.VIDEO_CLIPS_PER_BATCH = 2
+    cfg.SOLVER.MAX_ITER = 3
+    cfg.DATASETS.ROOT_DIR = str(tmp_path)
+    cfg.DATASETS.TRAIN = ("COCO17_train",)
+    cfg.DATALOADER.NUM_WORKERS = 2
+    cfg.TPU.MAX_GT = 8
+
+    batches_a = [(i.copy(), g) for i, g in
+                 build_train_data_loader(cfg, seed=7)]
+    batches_b = [(i.copy(), g) for i, g in
+                 build_train_data_loader(cfg, seed=7)]
+    assert len(batches_a) == 3
+    for (ia, ga), (ib, gb) in zip(batches_a, batches_b):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(np.asarray(ga.boxes),
+                                      np.asarray(gb.boxes))
+        np.testing.assert_array_equal(np.asarray(ga.ids),
+                                      np.asarray(gb.ids))
+
+    images, gt = batches_a[0]
+    assert images.shape[0] == 4            # 2 clips x 2 frames
+    assert images.shape[1] % 32 == 0 and images.shape[2] % 32 == 0
+    assert gt.boxes.shape == (4, 8, 4)
+    # frame pairs carry matching uids (same image duplicated)
+    assert set(np.asarray(gt.ids[0])[np.asarray(gt.valid[0])].tolist()) == \
+        set(np.asarray(gt.ids[1])[np.asarray(gt.valid[1])].tolist())
+
+    # different seed -> different sample selection (almost surely)
+    batches_c = [(i.copy(), g) for i, g in
+                 build_train_data_loader(cfg, seed=8)]
+    assert any(not np.array_equal(a[0], c[0])
+               for a, c in zip(batches_a, batches_c))
