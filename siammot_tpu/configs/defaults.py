@@ -220,6 +220,10 @@ _C.TPU.POOLER_DTYPE = "bfloat16"
 _C.TPU.S2D_STEM = True
 # device mesh axis sizes for data parallelism (0 = all available devices)
 _C.TPU.DATA_PARALLEL = 0
+# rematerialize backbone activations in the training backward pass
+# (jax.checkpoint): trades ~25% step FLOPs for the dominant share of
+# activation memory — enables bigger per-chip batches
+_C.TPU.REMAT = False
 
 
 def get_cfg() -> CN:

@@ -314,7 +314,14 @@ class SiamMOT:
         rcfg = self.rcfg_train
         t = self.cfg.MODEL.TRACK_HEAD
 
-        feats = net.apply(params, images, method=net.features)
+        if self.cfg.TPU.REMAT:
+            # recompute backbone activations in the backward pass instead
+            # of storing them (the dominant training-memory term)
+            feats = jax.checkpoint(
+                lambda p, im: net.apply(p, im, method=net.features))(
+                    params, images)
+        else:
+            feats = net.apply(params, images, method=net.features)
         logits, deltas = net.apply(params, feats, method=net.rpn_maps)
 
         # ---- RPN loss (vmapped over images, then averaged)

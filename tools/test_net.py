@@ -70,8 +70,8 @@ def main():
         ckptr = Checkpointer(mf if os.path.isdir(mf) else
                              os.path.dirname(mf) or ".")
         path = mf if os.path.basename(mf).startswith("model_") else None
-        restored = ckptr.load(path, like={"params": params, "opt_state": None,
-                                          "iteration": 0})
+        # restore as saved (training checkpoints carry opt_state too)
+        restored = ckptr.load(path, like=None)
         if restored:
             params = restored["params"]
             logger.info("loaded checkpoint at iter %s",
