@@ -52,22 +52,25 @@ def train(cfg, output_dir: str, logger):
     checkpointer = Checkpointer(output_dir)
     start_iter = 0
     weight = cfg.MODEL.WEIGHT
+    tx = make_optimizer(cfg, params)
+    opt_state = tx.init(params)
+
     latest = checkpointer.latest()
     if latest is not None:
-        restored = checkpointer.load(latest, like=None)
+        # restore against live templates so optax's NamedTuple state
+        # keeps its structure (a raw orbax restore yields plain dicts)
+        restored = checkpointer.load(
+            latest, like={"params": params, "opt_state": opt_state,
+                          "iteration": 0})
         if restored:
             params = restored["params"]
+            opt_state = restored["opt_state"]
             start_iter = int(restored.get("iteration", 0))
             logger.info("resumed from %s at iter %d", latest, start_iter)
     elif weight.endswith(".pth"):
         params, leftovers = import_torch_checkpoint(weight, params)
         logger.info("imported torch weights %s (%d unmatched keys)",
                     weight, len(leftovers))
-
-    tx = make_optimizer(cfg, params)
-    opt_state = tx.init(params)
-    if latest is not None and restored and restored.get("opt_state"):
-        opt_state = restored["opt_state"]
 
     mesh = make_mesh(cfg.TPU.DATA_PARALLEL or None)
     logger.info("mesh: %s", mesh)
