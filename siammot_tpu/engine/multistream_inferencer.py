@@ -1,0 +1,111 @@
+"""Multi-video batched inference.
+
+The reference tracks one video per GPU process and leaves per-video
+parallelism as a TODO (``/root/reference/siammot/engine/inferencer.py:156``,
+``tools/test_net.py:3``).  Here independent videos batch through ONE
+vmapped frame step (``parallel/multistream.py``): videos are grouped by
+padded network-input shape, processed in waves of ``n_streams``, each
+stream carrying its own on-device TrackState.  Streams that end early
+ride along as masked lanes until the wave's longest video finishes
+(their outputs are simply not collected) — shapes stay static, no
+recompiles mid-wave.
+
+Results are identical to the sequential engine per video (same jitted
+math, states never interact); see tests/test_multistream_inference.py.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections import defaultdict
+
+import jax
+import numpy as np
+
+from ..data.motion_dataset import DataSample
+from ..data.transforms import EvalTransform
+from ..data.video_loader import normalized_frame_source, resolve_data_path
+from ..parallel.multistream import build_multistream_step, empty_states
+from ..utils.entities import boxes_to_entities
+
+logger = logging.getLogger(__name__)
+
+
+def do_inference_multistream(cfg, model, params, samples: list,
+                             transforms=None, dataset_root: str = "",
+                             n_streams: int = 4) -> dict:
+    """Track a list of (sample_id, DataSample) videos; returns
+    {sample_id: DataSample} predictions."""
+    transforms = transforms or EvalTransform(cfg)
+
+    groups = defaultdict(list)
+    for sid, sample in samples:
+        in_w, in_h = transforms.input_size(sample.width, sample.height)
+        pad_w = -(-in_w // transforms.divisor) * transforms.divisor
+        pad_h = -(-in_h // transforms.divisor) * transforms.divisor
+        groups[(pad_w, pad_h, in_w, in_h)].append((sid, sample))
+
+    results = {}
+    for (pad_w, pad_h, in_w, in_h), group in groups.items():
+        step = build_multistream_step(model, image_size=(in_w, in_h))
+        for wave_start in range(0, len(group), n_streams):
+            wave = group[wave_start:wave_start + n_streams]
+            results.update(_run_wave(cfg, model, params, step, wave,
+                                     transforms, dataset_root, n_streams,
+                                     (pad_h, pad_w), (in_w, in_h)))
+    return results
+
+
+def _run_wave(cfg, model, params, step, wave, transforms, dataset_root,
+              n_streams, pad_hw, in_wh):
+    import jax.numpy as jnp
+
+    sources = []
+    metas = []
+    for sid, sample in wave:
+        path = resolve_data_path(sample, dataset_root)
+        sources.append(normalized_frame_source(path, transforms))
+        metas.append((sid, sample))
+
+    states = empty_states(model, n_streams)
+    outs = {sid: [] for sid, _ in metas}
+    alive = [True] * len(sources)
+    t0 = time.perf_counter()
+    frame_idx = 0
+    n_net_frames = 0
+    while any(alive):
+        batch = np.zeros((n_streams, 1, pad_hw[0], pad_hw[1], 3), np.float32)
+        for i, src in enumerate(sources):
+            if not alive[i]:
+                continue
+            item = next(src, None)
+            if item is None:
+                alive[i] = False
+                continue
+            batch[i] = item[0]
+            n_net_frames += 1
+        if not any(alive):
+            break
+        out, states = step(params, jnp.asarray(batch), states)
+        for i, (sid, sample) in enumerate(metas):
+            if alive[i] and frame_idx < len(sample):
+                outs[sid].append((frame_idx, jax.tree.map(
+                    lambda x, i=i: x[i], out)))
+        frame_idx += 1
+
+    results = {}
+    for i, (sid, sample) in enumerate(metas):
+        pred = DataSample(sid, metadata=dict(sample.metadata))
+        sx = sample.width / in_wh[0]
+        sy = sample.height / in_wh[1]
+        for fi, o in outs[sid]:
+            host = jax.tree.map(np.asarray, o)
+            for e in boxes_to_entities(host, fi, fi * 1000.0 / sample.fps,
+                                       (sx, sy)):
+                pred.add_entity(e)
+        results[sid] = pred
+    dt = time.perf_counter() - t0
+    logger.info("wave of %d videos: %d frames in %.1fs (%.1f fps aggregate)",
+                len(wave), n_net_frames, dt, n_net_frames / max(dt, 1e-6))
+    return results
