@@ -46,7 +46,24 @@ class SmoothedValue:
 def do_train(model, train_step, params, opt_state, data_loader, checkpointer,
              max_iter: int, checkpoint_period: int, start_iter: int = 0,
              log_period: int = 20, tensorboard_writer=None, rng=None):
-    """Run the training loop; returns final (params, opt_state)."""
+    """Run the training loop; returns final (params, opt_state).
+
+    SIGTERM triggers a final checkpoint + clean exit, so externally
+    time-limited runs (schedulers, CI timeouts) lose at most one step
+    and resume from where they stopped.
+    """
+    import signal
+    stop_requested = []
+
+    def _on_term(signum, frame):
+        logger.warning("SIGTERM received — checkpointing and stopping")
+        stop_requested.append(True)
+
+    try:
+        prev_handler = signal.signal(signal.SIGTERM, _on_term)
+    except ValueError:  # not on the main thread
+        prev_handler = None
+
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     meters = {"loss": SmoothedValue(), "time": SmoothedValue(),
               "data": SmoothedValue()}
@@ -56,7 +73,7 @@ def do_train(model, train_step, params, opt_state, data_loader, checkpointer,
 
     iteration = start_iter
     for images, gt in data_loader:
-        if iteration >= max_iter:
+        if iteration >= max_iter or stop_requested:
             break
         iteration += 1
         meters["data"].update(time.time() - end)
@@ -87,7 +104,11 @@ def do_train(model, train_step, params, opt_state, data_loader, checkpointer,
         end = time.time()
 
     if checkpointer is not None:
+        checkpointer.save(iteration, params, opt_state)
         checkpointer.save(iteration, params, opt_state, tag="model_final")
+    if prev_handler is not None:
+        import signal as _s
+        _s.signal(_s.SIGTERM, prev_handler)
     total = time.time() - start
     logger.info("Total training time: %.0fs (%.4f s/it)", total,
                 total / max(iteration - start_iter, 1))

@@ -37,13 +37,17 @@ class Checkpointer:
         self._ckptr.wait_until_finished()
 
     def latest(self) -> Optional[str]:
+        """Highest-numbered checkpoint; ``model_final`` only as fallback
+        (a stale final from an interrupted earlier run must not shadow
+        newer periodic checkpoints)."""
         cands = [d for d in os.listdir(self.dir)
-                 if re.match(r"model_(\d+|final)$", d)]
-        if not cands:
-            return None
-        cands.sort(key=lambda d: (d == "model_final",
-                                  int(d.split("_")[1]) if d.split("_")[1].isdigit() else 0))
-        return os.path.join(self.dir, cands[-1])
+                 if re.match(r"model_\d+$", d)]
+        if cands:
+            cands.sort(key=lambda d: int(d.split("_")[1]))
+            return os.path.join(self.dir, cands[-1])
+        if os.path.isdir(os.path.join(self.dir, "model_final")):
+            return os.path.join(self.dir, "model_final")
+        return None
 
     def load(self, path: Optional[str], like):
         """Restore into the structure of ``like`` (a template pytree)."""
