@@ -59,5 +59,7 @@ def test_orbax_save_load(tmp_path):
     b = jax.tree.leaves(restored["params"])[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # numbered checkpoints take precedence over model_final (a stale
+    # final from an interrupted run must not shadow periodic saves)
     ckptr.save(9, params, opt_state=None, tag="model_final")
-    assert ckptr.latest().endswith("model_final")
+    assert ckptr.latest().endswith("model_0000007")
