@@ -154,8 +154,12 @@ def multilevel_roi_align_batched(features: list, rois: jnp.ndarray,
     boxes from any frame in the batch — used by the track-head training
     path where template/search crops pool from different frames of a pair.
     """
-    b = features[0].shape[0]
     num_levels = len(scales)
+    # callers may pass the full FPN list (incl. P6, which no pooler scale
+    # covers); slice to the scale-covered levels — otherwise the flat
+    # (image, level) block indexing below mixes levels across images
+    features = list(features)[:num_levels]
+    b = features[0].shape[0]
     flat_feats = [f[i] for i in range(b) for f in features]
     flat_levels = img_idx * num_levels + levels
     flat_scales = tuple(scales) * b

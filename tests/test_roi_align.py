@@ -176,3 +176,30 @@ def test_multilevel_virtual_pad(rng):
                                     jnp.asarray(rois_padded[sel]), 15,
                                     scales[lvl], 2))
         np.testing.assert_allclose(got[sel], want, rtol=1e-4, atol=1e-5)
+
+
+def test_batched_pooler_ignores_extra_levels(rng):
+    """Passing the full FPN list (incl. P6, uncovered by pooler scales)
+    must equal passing only the scale-covered levels — regression test for
+    the (image, level) block-indexing bug that zeroed template pooling for
+    images >= 1 during training."""
+    import jax.numpy as jnp
+    from siammot_tpu.ops.roi_align import (map_rois_to_levels,
+                                           multilevel_roi_align_batched)
+    scales = (0.25, 0.125, 0.0625, 0.03125)
+    feats4 = [jnp.asarray(rng.randn(3, 32 // 2 ** i, 48 // 2 ** i, 8)
+                          .astype(np.float32)) for i in range(4)]
+    feats5 = feats4 + [jnp.asarray(rng.randn(3, 1, 2, 8).astype(np.float32))]
+    n = 9
+    x1 = rng.uniform(0, 100, n).astype(np.float32)
+    y1 = rng.uniform(0, 80, n).astype(np.float32)
+    rois = jnp.asarray(np.stack([x1, y1, x1 + 30, y1 + 40], -1))
+    img_idx = jnp.asarray((np.arange(n) % 3).astype(np.int32))
+    levels = map_rois_to_levels(rois, 2, 5)
+    a = multilevel_roi_align_batched(feats4, rois, img_idx, levels, 7,
+                                     scales, 2)
+    b = multilevel_roi_align_batched(feats5, rois, img_idx, levels, 7,
+                                     scales, 2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                               atol=1e-6)
+    assert float(np.abs(np.asarray(a)).sum()) > 0
