@@ -138,13 +138,16 @@ def _topk_level(objectness, deltas, anchors, image_size, rcfg: RPNConfig,
     anchors are padded with keep=False rows.
     """
     hwa = objectness.shape[0]
-    scores = jax.nn.sigmoid(objectness)
+    # top-k on raw logits (sigmoid is monotone — exact, and only the k
+    # survivors pay the sigmoid)
     if hwa >= k:
-        top_scores, idx = jax.lax.top_k(scores, k)
+        top_logits, idx = jax.lax.top_k(objectness, k)
+        top_scores = jax.nn.sigmoid(top_logits)
         pad = jnp.ones((k,), bool)
     else:
         top_scores = jnp.concatenate(
-            [scores, jnp.full((k - hwa,), -jnp.inf, scores.dtype)])
+            [jax.nn.sigmoid(objectness),
+             jnp.full((k - hwa,), -jnp.inf, objectness.dtype)])
         idx = jnp.concatenate([jnp.arange(hwa), jnp.zeros((k - hwa,),
                                                           jnp.int32)])
         pad = jnp.concatenate([jnp.ones((hwa,), bool),
