@@ -48,3 +48,24 @@ def test_bicubic_small_scale(rng):
     got = np.asarray(upsample_bicubic(jnp.asarray(x.transpose(0, 2, 3, 1)), 4))
     np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
                                rtol=1e-3, atol=1e-4)
+
+
+def test_grouped_topk_matches_flat(rng):
+    import jax
+    from siammot_tpu.models.rpn import _grouped_topk
+
+    n, k = 57_000, 1000
+    scores = rng.randn(n).astype(np.float32)
+    # inject ties, including across group boundaries
+    scores[5000:5040] = scores[40_000:40_040] = 1.5
+    scores = jnp.asarray(scores)
+    fv, fi = jax.lax.top_k(scores, k)
+    gv, gi = _grouped_topk(scores, k, group_size=8000)
+    np.testing.assert_array_equal(np.asarray(fv), np.asarray(gv))
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(gi))
+
+    # small-n passthrough
+    gv2, gi2 = _grouped_topk(scores[:500], 100, group_size=8000)
+    fv2, fi2 = jax.lax.top_k(scores[:500], 100)
+    np.testing.assert_array_equal(np.asarray(fv2), np.asarray(fv2))
+    np.testing.assert_array_equal(np.asarray(gi2), np.asarray(fi2))
