@@ -7,6 +7,9 @@ its dataset keys work unchanged.
 """
 
 dataset_maps = {
+    # synthetic MOT-format benchmark rendered by tools/make_synth_mot.py
+    # (stands in for MOT17/CrowdHuman, which cannot ship with the repo)
+    "SYNMOT": ["SYNMOT", "anno.json", "splits.json", "video"],
     "TAO": ["TAO", "anno_person.json", "splits_person.json", "video"],
     "CRP": ["caltech_roadside_pedestrians", "anno.json", "splits.json",
             "video"],
