@@ -209,6 +209,10 @@ _C.TPU.USE_PALLAS = True
 # per-site static window sizes, exact for sample spans that fit (the
 # LevelMapper bounds extents to ~[14, 28) feature px per sqrt-area axis)
 _C.TPU.POOLER_WINDOWED = True
+# windowed/Pallas pooling in the TRAINING step too (the Pallas window
+# pool has a sequential-scatter backward kernel; f32 table).  Default
+# off: the exact gather pooler has no window-coverage caveat.
+_C.TPU.TRAIN_POOLER_WINDOWED = False
 _C.TPU.WINDOW_BOX = 64
 _C.TPU.WINDOW_TEMPLATE = 64
 _C.TPU.WINDOW_SR = 128

@@ -116,6 +116,7 @@ class SiamMOT:
         SIAMESE_TRACKER.get(cfg.MODEL.TRACK_HEAD.MODEL)
         TRACKER_SAMPLER.get(cfg.MODEL.TRACK_HEAD.MODEL)
         self.windowed = cfg.TPU.POOLER_WINDOWED
+        self.train_windowed = cfg.TPU.TRAIN_POOLER_WINDOWED
         self.window_box = cfg.TPU.WINDOW_BOX
         self.window_template = cfg.TPU.WINDOW_TEMPLATE
         self.window_sr = cfg.TPU.WINDOW_SR
@@ -350,6 +351,16 @@ class SiamMOT:
             labels=jnp.zeros((b, m), jnp.int32),
             valid=jnp.concatenate([pv, gt.valid], axis=1))
 
+        # optional windowed/Pallas pooling for training (the Pallas
+        # window pool has a scatter backward; float32 table keeps the
+        # sequential gradient accumulation well-conditioned).  Default is
+        # the exact gather pooler — see PARITY.md on window coverage.
+        pack = None
+        if self.train_windowed:
+            from ..ops.roi_align_windowed import pack_levels
+            pack = pack_levels(feats[:len(self.net.box_scales)],
+                               self.net.box_scales, dtype=jnp.float32)
+
         # ---- box head: balanced subsample -> pooled MLP -> loss
         n_samp = hcfg.batch_per_image
         sub_fn = jax.vmap(
@@ -357,7 +368,7 @@ class SiamMOT:
         sampled, labels, regs = sub_fn(rngs[b:2 * b], props, gt)
         rois = sampled.boxes                                      # [B, S, 4]
         levels = pool_levels(rois, len(self.net.box_scales))
-        cl, bd = net.apply(params, feats, rois, levels,
+        cl, bd = net.apply(params, feats, rois, levels, pack,
                            method=net.box_predict)
         box_losses = box_head_loss(
             cl.reshape(-1, self.num_classes),
@@ -382,10 +393,12 @@ class SiamMOT:
         pair_idx = img_idx ^ 1
 
         sr_boxes = make_search_region(pair_boxes, ecfg)
-        templates = pool_template(feats, src, img_idx, ecfg)
+        templates = pool_template(feats, src, img_idx, ecfg, pack=pack,
+                                  window=self.window_template)
         # SR crops pool from the *paired* frame (shuffle_feature semantics),
         # level still chosen by the template box
-        sr_feats = pool_search_region(feats, src, sr_boxes, pair_idx, ecfg)
+        sr_feats = pool_search_region(feats, src, sr_boxes, pair_idx, ecfg,
+                                      pack=pack, window=self.window_sr)
         cls_l, ctr_l, reg_l = net.apply(params, sr_feats, templates,
                                         method=net.emm_predict)
         locations = response_locations(sr_boxes, ecfg.sr_size,

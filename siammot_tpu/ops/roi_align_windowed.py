@@ -219,9 +219,10 @@ def roi_align_windowed(table: jnp.ndarray, row_offsets: jnp.ndarray,
     wx = _axis_weights(xs, w_arr, pads, ox, window)
 
     if backend == "pallas":
-        from .pallas.window_pool import window_pool_pallas
+        # differentiable wrapper: Pallas forward + Pallas scatter backward
+        from .pallas.window_pool import window_pool
         origins = jnp.stack([row0 + oy, ox], axis=-1).astype(jnp.int32)
-        acc = window_pool_pallas(table, origins, wy, wx, window)
+        acc = window_pool(table, origins, wy, wx, window)
     else:
         # one contiguous block load per ROI
         def load(roi_row0, roi_ox):

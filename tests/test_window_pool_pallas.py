@@ -31,16 +31,58 @@ def test_window_pool_pallas_matches_xla(rng):
     ref = roi_align_windowed(*args, 7, 2, window=48, backend="xla")
 
     # drive the pallas path in interpret mode through the same prologue
-    import functools
-    import siammot_tpu.ops.roi_align_windowed as raw
     orig = window_pool_pallas
     try:
-        raw_pallas = functools.partial(orig, interpret=True)
+        def interp(table, origins, wy, wx, window, channel_block=128,
+                   interpret=False):
+            return orig(table, origins, wy, wx, window, channel_block,
+                        interpret=True)
         import siammot_tpu.ops.pallas.window_pool as wp
         wp_orig = wp.window_pool_pallas
-        wp.window_pool_pallas = raw_pallas
+        wp.window_pool_pallas = interp
         out = roi_align_windowed(*args, 7, 2, window=48, backend="pallas")
     finally:
         wp.window_pool_pallas = wp_orig
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_window_pool_backward_matches_autodiff(rng):
+    """Pallas scatter backward vs jax.grad of the XLA einsum forward."""
+    import jax
+
+    from siammot_tpu.ops.pallas.window_pool import window_pool
+
+    n, s, win, c = 5, 14, 16, 128
+    rows, wmax = 48, 32
+    table = rng.randn(rows, wmax, c).astype(np.float32)
+    # overlapping windows exercise the sequential read-modify-write
+    origins = np.stack([rng.randint(0, rows - win, n),
+                        8 * rng.randint(0, (wmax - win) // 8 + 1, n)],
+                       -1).astype(np.int32)
+    wy = rng.rand(n, s, win).astype(np.float32)
+    wx = rng.rand(n, s, win).astype(np.float32)
+    g = rng.randn(n, s, s, c).astype(np.float32)
+
+    def xla_fwd(t):
+        def one(o, a, b):
+            winb = jax.lax.dynamic_slice(t, (o[0], o[1], 0), (win, win, c))
+            tmp = jnp.einsum("sh,hwc->swc", a, winb)
+            return jnp.einsum("tw,swc->stc", b, tmp)
+        out = jax.vmap(one)(jnp.asarray(origins), jnp.asarray(wy),
+                            jnp.asarray(wx))
+        return jnp.sum(out * g)
+
+    want = jax.grad(xla_fwd)(jnp.asarray(table))
+
+    def pallas_fwd(t):
+        out = window_pool(t, jnp.asarray(origins), jnp.asarray(wy),
+                          jnp.asarray(wx), win, 128, True)
+        return jnp.sum(out * g)
+
+    fwd_val = pallas_fwd(jnp.asarray(table))
+    np.testing.assert_allclose(float(fwd_val), float(xla_fwd(jnp.asarray(table))),
+                               rtol=1e-4)
+    got = jax.grad(pallas_fwd)(jnp.asarray(table))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
