@@ -40,6 +40,7 @@ class BoxHeadFeatureExtractor(nn.Module):
     mlp_dim: int
 
     window: int = 64
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, features, rois, levels, pack=None):
@@ -58,7 +59,9 @@ class BoxHeadFeatureExtractor(nn.Module):
                     fs, r, l, self.resolution, self.scales,
                     self.sampling_ratio)
             )([f for f in features[:len(self.scales)]], rois, levels)
+        # pooling stays f32-exact; the MLP computes in the trunk dtype
         x = pool.reshape(pool.shape[0], pool.shape[1], -1)
+        x = x.astype(jnp.dtype(self.compute_dtype))
         x = nn.relu(nn.Dense(self.mlp_dim, name="fc6")(x))
         x = nn.relu(nn.Dense(self.mlp_dim, name="fc7")(x))
         return x
@@ -86,11 +89,13 @@ class BoxHead(nn.Module):
     sampling_ratio: int
     mlp_dim: int
     num_classes: int
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, features, rois, levels, pack=None):
         x = BoxHeadFeatureExtractor(
             self.resolution, self.scales, self.sampling_ratio, self.mlp_dim,
+            compute_dtype=self.compute_dtype,
             name="feature_extractor")(features, rois, levels, pack)
         return BoxHeadPredictor(self.num_classes, name="predictor")(x)
 

@@ -65,7 +65,8 @@ class SiamMOTNet(nn.Module):
         self.fpn = FPN(self.fpn_channels)
         self.rpn = RPNHead(self.num_anchors)
         self.box = BoxHead(self.box_resolution, self.box_scales,
-                           self.box_sampling, self.mlp_dim, self.num_classes)
+                           self.box_sampling, self.mlp_dim, self.num_classes,
+                           compute_dtype=self.compute_dtype)
         self.emm = EMMHead(self.fpn_channels, use_pallas=self.use_pallas)
 
     def features(self, images):
@@ -74,13 +75,23 @@ class SiamMOTNet(nn.Module):
         return [f.astype(jnp.float32) for f in feats]
 
     def rpn_maps(self, feats):
-        return self.rpn(feats)
+        # head computes in the trunk dtype, outputs in f32 (apex-O1 style:
+        # convs in half precision, downstream select/loss math in f32)
+        dt = jnp.dtype(self.compute_dtype)
+        logits, deltas = self.rpn([f.astype(dt) for f in feats])
+        return ([l.astype(jnp.float32) for l in logits],
+                [d.astype(jnp.float32) for d in deltas])
 
     def box_predict(self, feats, rois, levels, pack=None):
-        return self.box(feats, rois, levels, pack)
+        cl, bd = self.box(feats, rois, levels, pack)
+        return cl.astype(jnp.float32), bd.astype(jnp.float32)
 
     def emm_predict(self, sr_feats, templates):
-        return self.emm(sr_feats, templates)
+        dt = jnp.dtype(self.compute_dtype)
+        cls_l, ctr_l, reg_l = self.emm(sr_feats.astype(dt),
+                                       templates.astype(dt))
+        return (cls_l.astype(jnp.float32), ctr_l.astype(jnp.float32),
+                reg_l.astype(jnp.float32))
 
     def __call__(self, images, rois, levels, sr_feats, templates):
         """Init-only path touching every submodule."""
@@ -164,6 +175,22 @@ class SiamMOT:
         return TrackState.empty(self.max_tracks, self.ecfg.resolution,
                                 self.channels)
 
+    def cast_params(self, params):
+        """Cast float params to the compute dtype for the step body.
+
+        Master weights stay f32 (init/checkpoint/optimizer); the cast is
+        inside the jitted step, so training gradients flow back to the
+        f32 tree through the cast (apex-AMP-O1 analogue: convs/matmuls in
+        half precision, losses and box math in f32).  Without this, flax
+        type promotion silently runs every conv in f32 (bf16 activations
+        x f32 params -> f32).
+        """
+        dt = jnp.dtype(self.cfg.TPU.COMPUTE_DTYPE)
+        if dt == jnp.float32:
+            return params
+        return jax.tree.map(
+            lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, params)
+
     def anchors_for(self, image_hw):
         """Per-level anchor arrays for a given padded input size."""
         h, w = image_hw
@@ -197,6 +224,7 @@ class SiamMOT:
         h, w = images.shape[1:3]
         image_size = image_size or (w, h)
         k = self.max_tracks
+        params = self.cast_params(params)
 
         feats = net.apply(params, images, method=net.features)
         feats1 = [f[0] for f in feats]
@@ -310,6 +338,7 @@ class SiamMOT:
         net, ecfg, hcfg = self.net, self.ecfg, self.hcfg
         b, h, w = images.shape[:3]
         assert b % 2 == 0, "training batch must be frame pairs"
+        params = self.cast_params(params)
         image_size = image_size or (w, h)
         anchors = self.anchors_for((h, w))
         rcfg = self.rcfg_train

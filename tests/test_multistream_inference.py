@@ -34,6 +34,10 @@ def test_multistream_matches_sequential(tmp_path):
     cfg.MODEL.RPN.POST_NMS_TOP_N_TEST = 16
     cfg.MODEL.RPN.FPN_POST_NMS_TOP_N_TEST = 16
     cfg.TPU.MAX_TRACKS = 4
+    # bitwise stream-bookkeeping check: bf16 heads make vmapped-vs-
+    # sequential conv batching differ at ~1e-2 px, which is not what this
+    # test is about
+    cfg.TPU.COMPUTE_DTYPE = "float32"
     cfg.freeze()
     model = SiamMOT(cfg)
     params = model.init_params(jax.random.PRNGKey(0), (64, 96))
