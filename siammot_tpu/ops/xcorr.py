@@ -71,9 +71,21 @@ def xcorr_depthwise(search: jnp.ndarray, template: jnp.ndarray) -> jnp.ndarray:
     _, ht, wt, _ = template.shape
     ho, wo = hs - ht + 1, ws - wt + 1
 
+    # One tap per (i, j) template cell, accumulated by a lax.scan in the
+    # same i-major order as the naive double loop (bitwise-identical f32
+    # accumulation).  The scan exists for *compiler* reasons, not brevity:
+    # unrolled, XLA is free to fuse the whole Ht*Wt shift-MAC chain into
+    # downstream per-element consumers — e.g. the ROIAlign-backward
+    # scatter-update producers in the training graph — re-evaluating the
+    # entire chain per scatter row (observed 20x step slowdown on the CPU
+    # mesh).  A loop region is opaque to fusion, so the response/gradient
+    # is materialized exactly once.
+    def tap(acc, ij):
+        i, j = ij // wt, ij % wt
+        window = jax.lax.dynamic_slice(search, (0, i, j, 0), (b, ho, wo, c))
+        t = jax.lax.dynamic_slice(template, (0, i, j, 0), (b, 1, 1, c))
+        return acc + window.astype(jnp.float32) * t.astype(jnp.float32), None
+
     acc = jnp.zeros((b, ho, wo, c), dtype=jnp.float32)
-    for i in range(ht):
-        for j in range(wt):
-            window = jnp.asarray(search[:, i:i + ho, j:j + wo, :], jnp.float32)
-            acc = acc + window * template[:, i, j, None, None, :].astype(jnp.float32)
+    acc, _ = jax.lax.scan(tap, acc, jnp.arange(ht * wt))
     return acc.astype(search.dtype)

@@ -94,17 +94,46 @@ def build_train_step(model, tx, mesh: Mesh, image_size=None):
     batch = dict(images [B, H, W, 3], gt: Boxes with [B, G] fields,
     rng key). Returns (params', opt_state', metrics) with metrics already
     globally reduced.
+
+    The per-device loss+grad is expressed with ``shard_map`` (manual
+    partitioning, explicit ``pmean`` over 'data' = the DDP gradient
+    all-reduce) rather than jit sharding propagation: the model's train
+    graph is large (gathers, scans, NMS fixed-point loops), and running
+    GSPMD sharding propagation over all of it costs tens of minutes of
+    compile time at 8 devices, vs seconds for the manually partitioned
+    form.  Each device must hold whole frame PAIRS: B/n_devices must be
+    even (clips are laid out adjacently, so contiguous batch sharding
+    keeps pairs together).
     """
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
 
-    def step(params, opt_state, images, gt, rng):
+    def local_grads(params, images, gt, rng):
+        # decorrelate per-device sampling; data differs per shard anyway
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+
         def loss_fn(p):
             losses = model.forward_train(p, rng, images, gt,
                                          image_size=image_size)
             return sum(losses.values()), losses
 
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (total, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        # DDP all-reduce: mean of per-device batch-mean losses/grads ==
+        # global batch mean (equal shard sizes)
+        return jax.lax.pmean((grads, total, losses), "data")
+
+    # check_vma=False: the varying-axis checker rejects while_loop carries
+    # (NMS fixed-point) whose initial value is shard-invariant; everything
+    # here is per-device anyway.
+    sharded_grads = jax.shard_map(
+        local_grads, mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+
+    def step(params, opt_state, images, gt, rng):
+        grads, total, losses = sharded_grads(params, images, gt, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics = dict(losses, loss=total)
