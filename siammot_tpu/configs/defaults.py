@@ -210,9 +210,11 @@ _C.TPU.USE_PALLAS = True
 # LevelMapper bounds extents to ~[14, 28) feature px per sqrt-area axis)
 _C.TPU.POOLER_WINDOWED = True
 # windowed/Pallas pooling in the TRAINING step too (the Pallas window
-# pool has a sequential-scatter backward kernel; f32 table).  Default
-# off: the exact gather pooler has no window-coverage caveat.
-_C.TPU.TRAIN_POOLER_WINDOWED = False
+# pool has a sequential-scatter backward kernel; f32 table).  2.6x the
+# train-step throughput of the exact gather pooler on-chip; set False
+# for the no-window-coverage-caveat gather path (PARITY.md dev. 5/9),
+# e.g. for SEARCH_REGION > 2 recipes whose SR spans exceed WINDOW_SR.
+_C.TPU.TRAIN_POOLER_WINDOWED = True
 _C.TPU.WINDOW_BOX = 64
 _C.TPU.WINDOW_TEMPLATE = 64
 _C.TPU.WINDOW_SR = 128

@@ -6,8 +6,17 @@ interpolation matmuls — the XLA version materializes the gathered
 [N, win, win, C] windows tensor in HBM (up to ~1 GB/frame at SR-pool
 shapes), which this kernel never allocates.
 
-Grid: one program per ROI, with the next ROI's window DMA prefetched into
-a second buffer while the current one is interpolated (double buffering).
+Both kernels stream each window in ROW STRIPES of ``hb`` rows (hb | window,
+hb % 8 == 0 when striped) so VMEM stays bounded for any window size and
+table dtype: the un-striped formulation needs several [win, win, C]
+intermediates at once, which blows the 16 MB scoped-VMEM limit at the
+f32 SR-pool shapes the training path uses (window 128, C 128).
+
+Grid: one program per ROI.  Forward: the next stripe's DMA (possibly of
+the next ROI) is prefetched into a second buffer while the current stripe
+is interpolated.  Backward: one program per ROI scatter-adds
+W_y^T G W_x into the table gradient stripe by stripe; the TPU grid is
+sequential, so the read-modify-write of overlapping windows is race-free.
 
 The dense per-axis weight matrices (Wy/Wx, with all boundary/virtual-pad
 masking folded in) are computed by the XLA prologue in
@@ -24,100 +33,138 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _stripe_rows(window: int) -> int:
+    """Largest stripe height (multiple of 8, dividing window) <= 32; the
+    whole window when none exists (small/odd windows fit un-striped)."""
+    for hb in (32, 24, 16, 8):
+        if window % hb == 0:
+            return hb
+    return window
+
+
 def _kernel(origins_ref,              # scalar-prefetch: [N, 2] (row0+oy, ox)
-            wy_ref, wx_ref,           # [1, S, win] blocks
+            wyt_ref, wx_ref,          # [1, win, S] / [1, S, win] blocks
             table_ref,                # full [R, Wmax, C] in ANY/HBM
-            out_ref,                  # [1, S, S, C] block
-            win_buf, sems, *, window: int, c: int, n_buf: int):
+            out_ref,                  # [1, S, S, C] block (f32)
+            win_buf, sems, *, window: int, c: int, hb: int, n_buf: int):
     i = pl.program_id(0)
     n = pl.num_programs(0)
-    wy = wy_ref[0]                                  # [S, win]
-    wx = wx_ref[0]
+    wyt = wyt_ref[0]                                # [win, S]
+    wx = wx_ref[0]                                  # [S, win]
+    s = wx.shape[0]
+    k_str = window // hb
 
-    def dma(slot, idx):
+    def dma(slot, roi, k):
         # the XLA prologue 8-aligns column origins; assert it to Mosaic
-        ox = pl.multiple_of(origins_ref[idx, 1], 8)
+        ox = pl.multiple_of(origins_ref[roi, 1], 8)
         return pltpu.make_async_copy(
-            table_ref.at[pl.ds(origins_ref[idx, 0], window),
+            table_ref.at[pl.ds(origins_ref[roi, 0] + k * hb, hb),
                          pl.ds(ox, window), pl.ds(0, c)],
             win_buf.at[slot], sems.at[slot])
 
-    if n_buf == 2:                                  # double-buffered
+    if n_buf == 2:
         @pl.when(i == 0)
         def _():
-            dma(0, 0).start()
+            dma(0, 0, 0).start()
 
-        @pl.when(i + 1 < n)
-        def _():
-            dma((i + 1) % 2, i + 1).start()
+    def stripe(k, _):
+        slot = (i * k_str + k) % 2 if n_buf == 2 else 0
+        if n_buf == 2:
+            # prefetch the next stripe in the global (roi, stripe) order
+            g_next = i * k_str + k + 1
 
-        dma(i % 2, i).wait()
-        win = win_buf[i % 2]                        # [H=win, W=win, C]
-    else:                                           # VMEM-tight fallback
-        d = dma(0, i)
-        d.start()
-        d.wait()
-        win = win_buf[0]
-    dt = win.dtype                                  # compute in table dtype
-    s = wy.shape[0]
-    # Mosaic supports batched (rank-3) matmuls but not plain rank-3
-    # contractions; formulate both interpolation passes as batched
-    # matmuls with channel lanes intact, f32 accumulation.
-    # pass 1 (contract W), batch over H: [H,T,W] @ [H,W,C] -> [H,T,C]
-    wx_b = jnp.broadcast_to(wx.astype(dt)[None], (window, s, window))
-    b = jax.lax.dot_general(
-        wx_b, win, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)         # [H, T, C]
-    # pass 2 (contract H), batch over T: [T,S,H] @ [T,H,C] -> [T,S,C]
-    b_t = b.transpose(1, 0, 2).astype(dt)
-    wy_b = jnp.broadcast_to(wy.astype(dt)[None], (s, s, window))
-    out = jax.lax.dot_general(
-        wy_b, b_t, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)         # [T, S, C]
-    out_ref[0] = out.transpose(1, 0, 2)
+            @pl.when(g_next < n * k_str)
+            def _():
+                dma((g_next) % 2, g_next // k_str, g_next % k_str).start()
+        else:
+            dma(0, i, k).start()
+        dma(slot, i, k).wait()
+        win = win_buf[slot]                         # [hb, win_w, C]
+        dt = win.dtype
+        # pass 1 (contract W), batch over stripe rows:
+        #   partial[hh, q, c] = sum_w wx[q, w] win[hh, w, c]
+        wx_b = jnp.broadcast_to(wx.astype(dt)[None], (hb, s, window))
+        partial = jax.lax.dot_general(
+            wx_b, win, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)     # [hb, S, C]
+        # pass 2 (contract stripe rows), batch over q:
+        #   contrib[q, p, c] = sum_hh wyt[k*hb + hh, p] partial[hh, q, c]
+        if k_str == 1:
+            wy_s = wyt
+        else:
+            h0 = pl.multiple_of(k * hb, 8)
+            wy_s = wyt_ref[0, pl.ds(h0, hb), :]     # [hb, S]
+        partial_t = partial.transpose(1, 0, 2).astype(dt)
+        wy_b = jnp.broadcast_to(
+            wy_s.astype(dt).T[None], (s, s, hb))    # [q, p, hh]
+        contrib = jax.lax.dot_general(
+            wy_b, partial_t, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)     # [q, p, C]
+        contrib = contrib.transpose(1, 0, 2)        # [p, q, C]
+        if k_str == 1:
+            out_ref[0] = contrib
+        else:
+            @pl.when(k == 0)
+            def _():
+                out_ref[0] = contrib
+
+            @pl.when(k > 0)
+            def _():
+                out_ref[0] = out_ref[0] + contrib
+        return 0
+
+    jax.lax.fori_loop(0, k_str, stripe, 0)
 
 
 def _bwd_kernel(origins_ref,              # scalar-prefetch: [N, 2]
-                wy_ref, wx_ref,           # [1, S, win] blocks
+                wyt_ref, wx_ref,          # [1, win, S] / [1, S, win] blocks
                 g_ref,                    # [1, S, S, C] block (cotangent)
                 zeros_ref,                # aliased to dtable_ref (unused)
                 dtable_ref,               # full [R, Wmax, C] in ANY/HBM
-                win_buf, sems, *, window: int, c: int):
+                win_buf, sems, *, window: int, c: int, hb: int):
     del zeros_ref
-    """Scatter-add W_y^T G W_x into the table gradient, one ROI per
-    program.  The TPU grid is sequential, so the read-modify-write of
-    overlapping windows is race-free (single-buffered: each window's
-    write-back completes before the next program's read starts)."""
     i = pl.program_id(0)
     ox = pl.multiple_of(origins_ref[i, 1], 8)
-    sl = (pl.ds(origins_ref[i, 0], window), pl.ds(ox, window), pl.ds(0, c))
-
-    read = pltpu.make_async_copy(dtable_ref.at[sl], win_buf, sems.at[0])
-    read.start()
+    row0 = origins_ref[i, 0]
 
     g = g_ref[0]                                    # [S, S, C] f32
-    wy = wy_ref[0].astype(jnp.float32)              # [S, win]
-    wx = wx_ref[0].astype(jnp.float32)
-    s = wy.shape[0]
-    # A[s, w, c] = sum_t wx[t, w] g[s, t, c]  (batched over s)
-    wxt_b = jnp.broadcast_to(wx.T[None], (s, window, s))
-    a = jax.lax.dot_general(
-        wxt_b, g, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)          # [S, win, C]
-    # dWin[h, w, c] = sum_s wy[s, h] A[s, w, c]  (batched over w)
-    a_t = a.transpose(1, 0, 2)                       # [win, S, C]
-    wyt_b = jnp.broadcast_to(wy.T[None], (window, window, s))
-    dwin = jax.lax.dot_general(
-        wyt_b, a_t, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)          # [win_w, win_h, C]
-    dwin = dwin.transpose(1, 0, 2)                   # [win_h, win_w, C]
+    wyt = wyt_ref[0].astype(jnp.float32)            # [win, S]
+    wx = wx_ref[0].astype(jnp.float32)              # [S, win]
+    s = wx.shape[0]
+    g_t = g.transpose(1, 0, 2)                      # [sx, sy, C]
+    k_str = window // hb
 
-    read.wait()
-    win_buf[...] = (win_buf[...].astype(jnp.float32) + dwin
-                    ).astype(win_buf.dtype)
-    write = pltpu.make_async_copy(win_buf, dtable_ref.at[sl], sems.at[1])
-    write.start()
-    write.wait()
+    def stripe(k, _):
+        sl = (pl.ds(row0 + k * hb, hb), pl.ds(ox, window), pl.ds(0, c))
+        read = pltpu.make_async_copy(dtable_ref.at[sl], win_buf, sems.at[0])
+        read.start()
+        if k_str == 1:
+            wy_s = wyt
+        else:
+            h0 = pl.multiple_of(k * hb, 8)
+            wy_s = wyt_ref[0, pl.ds(h0, hb), :].astype(jnp.float32)
+        # stage 1, batch over sx:
+        #   P[hh, sx, c] = sum_sy wy_s[hh, sy] g[sy, sx, c]
+        wy_b = jnp.broadcast_to(wy_s[None], (s, hb, s))
+        p_t = jax.lax.dot_general(
+            wy_b, g_t, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)     # [sx, hh, C]
+        p = p_t.transpose(1, 0, 2)                  # [hh, sx, C]
+        # stage 2, batch over stripe rows:
+        #   dwin[hh, w, c] = sum_sx wx[sx, w] P[hh, sx, c]
+        wxt_b = jnp.broadcast_to(wx.T[None], (hb, window, s))
+        dwin = jax.lax.dot_general(
+            wxt_b, p, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)     # [hh, w, C]
+        read.wait()
+        win_buf[...] = (win_buf[...].astype(jnp.float32) + dwin
+                        ).astype(win_buf.dtype)
+        write = pltpu.make_async_copy(win_buf, dtable_ref.at[sl], sems.at[1])
+        write.start()
+        write.wait()
+        return 0
+
+    jax.lax.fori_loop(0, k_str, stripe, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("table_shape", "table_dtype",
@@ -136,13 +183,15 @@ def window_pool_pallas_bwd(g: jnp.ndarray, origins: jnp.ndarray,
     """
     n, s = wy.shape[:2]
     c = table_shape[-1]
+    hb = _stripe_rows(window)
     zeros = jnp.zeros(table_shape, table_dtype)
-    kernel = functools.partial(_bwd_kernel, window=window, c=c)
+    wyt = jnp.swapaxes(wy, 1, 2)                    # [N, win, S]
+    kernel = functools.partial(_bwd_kernel, window=window, c=c, hb=hb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, s, window), lambda i, o: (i, 0, 0),
+            pl.BlockSpec((1, window, s), lambda i, o: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, window), lambda i, o: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -152,7 +201,7 @@ def window_pool_pallas_bwd(g: jnp.ndarray, origins: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((window, window, c), table_dtype),
+            pltpu.VMEM((hb, window, c), table_dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -162,7 +211,7 @@ def window_pool_pallas_bwd(g: jnp.ndarray, origins: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct(table_shape, table_dtype),
         input_output_aliases={4: 0},    # zeros table buffer -> dtable
         interpret=interpret,
-    )(origins, wy, wx, g.astype(jnp.float32), zeros)
+    )(origins, wyt, wx, g.astype(jnp.float32), zeros)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -222,16 +271,22 @@ def window_pool_pallas(table: jnp.ndarray, origins: jnp.ndarray,
     del channel_block  # full-channel windows; kept for API stability
     n, s = wy.shape[:2]
     c = table.shape[-1]
-    # double-buffer when two windows comfortably fit VMEM
-    n_buf = 2 if 2 * window * window * c * table.dtype.itemsize \
+    # bf16 windows <= 128 fit VMEM whole (the proven inference envelope,
+    # one DMA per ROI); stripe otherwise (f32 tables / larger windows)
+    hb = window if table.dtype.itemsize <= 2 and window <= 128 \
+        else _stripe_rows(window)
+    # double-buffer when two stripes comfortably fit VMEM
+    n_buf = 2 if 2 * hb * window * c * table.dtype.itemsize \
         <= 9 * 2 ** 20 else 1
+    wyt = jnp.swapaxes(wy, 1, 2)                    # [N, win, S]
 
-    kernel = functools.partial(_kernel, window=window, c=c, n_buf=n_buf)
+    kernel = functools.partial(_kernel, window=window, c=c, hb=hb,
+                               n_buf=n_buf)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, s, window), lambda i, o: (i, 0, 0),
+            pl.BlockSpec((1, window, s), lambda i, o: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, window), lambda i, o: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -240,7 +295,7 @@ def window_pool_pallas(table: jnp.ndarray, origins: jnp.ndarray,
         out_specs=pl.BlockSpec((1, s, s, c), lambda i, o: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((n_buf, window, window, c), table.dtype),
+            pltpu.VMEM((n_buf, hb, window, c), table.dtype),
             pltpu.SemaphoreType.DMA((n_buf,)),
         ],
     )
@@ -249,4 +304,4 @@ def window_pool_pallas(table: jnp.ndarray, origins: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, s, s, c), jnp.float32),
         interpret=interpret,
-    )(origins, wy, wx, table)
+    )(origins, wyt, wx, table)

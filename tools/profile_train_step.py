@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Profile the jitted train step on the real chip, isolated from the
+data pipeline: synthetic batch, per-iteration sync via a fetched scalar.
+
+Usage:
+  python tools/profile_train_step.py [--config configs/dla/DLA_34_FPN_EMM_SYNMOT.yaml] \
+      [--iters 20] [KEY VALUE ...]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from siammot_tpu.utils.platform import ensure_requested_platform  # noqa: E402
+ensure_requested_platform()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config",
+                    default="configs/dla/DLA_34_FPN_EMM_SYNMOT.yaml")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("opts", nargs="*")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from siammot_tpu.configs.defaults import get_cfg
+    from siammot_tpu.core.structures import Boxes
+    from siammot_tpu.models.siammot import SiamMOT
+    from siammot_tpu.parallel.mesh import (build_train_step, make_mesh,
+                                           make_optimizer)
+
+    cfg = get_cfg()
+    cfg.merge_from_file(args.config)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    cfg.freeze()
+
+    h = -(-cfg.TPU.INPUT_HEIGHT // 32) * 32
+    w = -(-cfg.TPU.INPUT_WIDTH // 32) * 32
+    b = 2 * cfg.SOLVER.VIDEO_CLIPS_PER_BATCH
+    g = cfg.TPU.MAX_GT
+
+    model = SiamMOT(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), (h, w))
+    tx = make_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    step = build_train_step(model, tx, make_mesh(), image_size=(w, h))
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    boxes = np.zeros((b, g, 4), np.float32)
+    boxes[..., 0] = rng.uniform(0, w - 80, (b, g))
+    boxes[..., 1] = rng.uniform(0, h - 80, (b, g))
+    boxes[..., 2] = boxes[..., 0] + rng.uniform(16, 80, (b, g))
+    boxes[..., 3] = boxes[..., 1] + rng.uniform(16, 80, (b, g))
+    ids = np.tile(np.arange(g, dtype=np.int32)[None], (b, 1))
+    ids += (np.arange(b, dtype=np.int32) // 2 * g)[:, None]
+    gt = Boxes(boxes=jnp.asarray(boxes),
+               scores=jnp.ones((b, g), jnp.float32),
+               ids=jnp.asarray(ids),
+               labels=jnp.ones((b, g), jnp.int32),
+               valid=jnp.ones((b, g), bool))
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    params, opt_state, metrics = step(params, opt_state, images, gt, key)
+    loss0 = float(metrics["loss"])  # force (compile + first run)
+    print(f"compile+first step: {time.time() - t0:.1f}s  loss {loss0:.4f}")
+
+    times = []
+    for i in range(args.iters):
+        key, k = jax.random.split(key)
+        t0 = time.time()
+        params, opt_state, metrics = step(params, opt_state, images, gt, k)
+        _ = float(metrics["loss"])  # sync (block_until_ready unreliable on axon)
+        times.append(time.time() - t0)
+    times = np.asarray(times)
+    fps = b / float(np.median(times))
+    print(f"step: median {np.median(times)*1e3:.1f} ms  "
+          f"min {times.min()*1e3:.1f} ms  "
+          f"({fps:.1f} train frames/s at batch {b}, {h}x{w})")
+
+
+if __name__ == "__main__":
+    main()
