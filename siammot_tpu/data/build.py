@@ -75,25 +75,34 @@ class IterationLoader:
         return [(rng.randrange(n), rng.getrandbits(31))
                 for _ in range(self.batch_clips)]
 
-    def _load_batch(self, pool, iteration: int):
-        items = list(pool.map(self.dataset.__getitem__,
-                              self._indices_for(iteration)))
-        return self.collator(items)
-
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def produce():
+            # keep `prefetch + 1` batches' ITEMS in flight at once —
+            # submitting one batch at a time caps throughput at one
+            # item-latency per batch (batch_clips may be < num_workers)
+            from collections import deque
             with ThreadPoolExecutor(self.num_workers) as pool:
-                for it in range(self.start_iter, self.max_iter):
-                    if stop.is_set():
-                        return
-                    try:
-                        q.put(self._load_batch(pool, it))
-                    except BaseException as e:
-                        q.put(e)
-                        return
+                pending: deque = deque()
+                it_next = self.start_iter
+                depth = self.prefetch + 1
+                try:
+                    while pending or it_next < self.max_iter:
+                        if stop.is_set():
+                            return
+                        while it_next < self.max_iter and \
+                                len(pending) < depth:
+                            pending.append([
+                                pool.submit(self.dataset.__getitem__, idx)
+                                for idx in self._indices_for(it_next)])
+                            it_next += 1
+                        futs = pending.popleft()
+                        q.put(self.collator([f.result() for f in futs]))
+                except BaseException as e:
+                    q.put(e)
+                    return
                 q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)

@@ -90,10 +90,10 @@ def do_train(model, train_step, params, opt_state, data_loader, checkpointer,
             eta = (time.time() - start) / max(iteration - start_iter, 1) \
                 * (max_iter - iteration)
             logger.info(
-                "iter %d/%d  loss %.4f (med %.4f)  %s  eta %.0fs",
+                "iter %d/%d  loss %.4f (med %.4f)  %s  data %.3fs  eta %.0fs",
                 iteration, max_iter, host["loss"], meters["loss"].median,
                 "  ".join(f"{k} {v:.4f}" for k, v in sorted(host.items())
-                          if k != "loss"), eta)
+                          if k != "loss"), meters["data"].median, eta)
             if tensorboard_writer is not None:
                 tensorboard_writer(iteration, host)
 
