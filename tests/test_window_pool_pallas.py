@@ -86,3 +86,49 @@ def test_window_pool_backward_matches_autodiff(rng):
     got = jax.grad(pallas_fwd)(jnp.asarray(table))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_window_pool_striped_f32_sr_shapes(rng):
+    """The striped kernels at the f32 SR-pool production shape (window
+    128, hb 32 — the un-striped formulation OOM'd scoped VMEM on chip):
+    fwd + bwd vs autodiff of the XLA einsum forward."""
+    import jax
+
+    from siammot_tpu.ops.pallas.window_pool import (_stripe_rows,
+                                                    window_pool)
+
+    assert _stripe_rows(128) == 32
+    assert _stripe_rows(48) == 24
+    assert _stripe_rows(60) == 60      # odd window: single stripe
+
+    n, s, win, c = 2, 12, 128, 128
+    rows, wmax = 160, 160
+    table = rng.randn(rows, wmax, c).astype(np.float32)
+    origins = np.stack([rng.randint(0, rows - win, n),
+                        8 * rng.randint(0, (wmax - win) // 8 + 1, n)],
+                       -1).astype(np.int32)
+    wy = rng.rand(n, s, win).astype(np.float32)
+    wx = rng.rand(n, s, win).astype(np.float32)
+    g = rng.randn(n, s, s, c).astype(np.float32)
+
+    def xla_fwd(t):
+        def one(o, a, b):
+            winb = jax.lax.dynamic_slice(t, (o[0], o[1], 0), (win, win, c))
+            tmp = jnp.einsum("sh,hwc->swc", a, winb)
+            return jnp.einsum("tw,swc->stc", b, tmp)
+        out = jax.vmap(one)(jnp.asarray(origins), jnp.asarray(wy),
+                            jnp.asarray(wx))
+        return jnp.sum(out * g)
+
+    def pallas_fwd(t):
+        out = window_pool(t, jnp.asarray(origins), jnp.asarray(wy),
+                          jnp.asarray(wx), win, 128, True)
+        return jnp.sum(out * g)
+
+    t = jnp.asarray(table)
+    np.testing.assert_allclose(float(pallas_fwd(t)), float(xla_fwd(t)),
+                               rtol=1e-4)
+    got = jax.grad(pallas_fwd)(t)
+    want = jax.grad(xla_fwd)(t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-3)
