@@ -129,6 +129,56 @@ int decode_resize_one(const char* path, int out_w, int out_h,
   return 0;
 }
 
+// Bilinear resize RGB8 -> RGB8 (same half-pixel-center sampling as
+// resize_normalize; round-to-nearest).  Used by the device-normalize
+// path: the host ships raw uint8 and the model normalizes on device.
+void resize_u8(const uint8_t* src, int sw, int sh, uint8_t* dst, int dw,
+               int dh) {
+  const float sx = float(sw) / dw, sy = float(sh) / dh;
+  std::vector<int> x0s(dw), x1s(dw);
+  std::vector<float> fxs(dw);
+  for (int x = 0; x < dw; ++x) {
+    float fx = (x + 0.5f) * sx - 0.5f;
+    if (fx < 0) fx = 0;
+    int x0 = int(fx);
+    if (x0 > sw - 1) x0 = sw - 1;
+    int x1 = x0 + 1 < sw ? x0 + 1 : sw - 1;
+    x0s[x] = x0; x1s[x] = x1; fxs[x] = fx - x0;
+  }
+  for (int y = 0; y < dh; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    if (fy < 0) fy = 0;
+    int y0 = int(fy);
+    if (y0 > sh - 1) y0 = sh - 1;
+    int y1 = y0 + 1 < sh ? y0 + 1 : sh - 1;
+    float wy = fy - y0;
+    const uint8_t* r0 = src + size_t(y0) * sw * 3;
+    const uint8_t* r1 = src + size_t(y1) * sw * 3;
+    uint8_t* out = dst + size_t(y) * dw * 3;
+    for (int x = 0; x < dw; ++x) {
+      int x0 = x0s[x] * 3, x1 = x1s[x] * 3;
+      float wx = fxs[x];
+      float w00 = (1 - wy) * (1 - wx), w01 = (1 - wy) * wx;
+      float w10 = wy * (1 - wx), w11 = wy * wx;
+      for (int c = 0; c < 3; ++c) {
+        float v = w00 * r0[x0 + c] + w01 * r0[x1 + c] + w10 * r1[x0 + c] +
+                  w11 * r1[x1 + c];
+        out[x * 3 + c] = uint8_t(v + 0.5f);
+      }
+    }
+  }
+}
+
+int decode_resize_u8_one(const char* path, int out_w, int out_h,
+                         uint8_t* out) {
+  std::vector<uint8_t> rgb;
+  int w = 0, h = 0;
+  int rc = decode_jpeg(path, &rgb, &w, &h);
+  if (rc != 0) return rc;
+  resize_u8(rgb.data(), w, h, out, out_w, out_h);
+  return 0;
+}
+
 // ---- persistent worker pool ------------------------------------------------
 
 class Pool {
@@ -231,6 +281,34 @@ int fio_decode_batch(int n, const char** paths, int out_w, int out_h,
     g_pool->submit([&, i] {
       int rc = decode_resize_one(paths[i], out_w, out_h, mean, stdv,
                                  out + stride * i);
+      if (rc != 0) status.store(rc);
+      if (remaining.fetch_sub(1) == 1) {
+        std::lock_guard<std::mutex> lk(done_mu);
+        done_cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(done_mu);
+  done_cv.wait(lk, [&] { return remaining.load() == 0; });
+  return status.load();
+}
+
+int fio_decode_file_u8(const char* path, int out_w, int out_h,
+                       uint8_t* out) {
+  return decode_resize_u8_one(path, out_w, out_h, out);
+}
+
+// Decode n files concurrently into out[n, out_h, out_w, 3] uint8.
+int fio_decode_batch_u8(int n, const char** paths, int out_w, int out_h,
+                        uint8_t* out) {
+  if (!g_pool) fio_pool_create(0);
+  std::atomic<int> remaining(n), status(0);
+  std::mutex done_mu;
+  std::condition_variable done_cv;
+  const size_t stride = size_t(out_w) * out_h * 3;
+  for (int i = 0; i < n; ++i) {
+    g_pool->submit([&, i] {
+      int rc = decode_resize_u8_one(paths[i], out_w, out_h, out + stride * i);
       if (rc != 0) status.store(rc);
       if (remaining.fetch_sub(1) == 1) {
         std::lock_guard<std::mutex> lk(done_mu);

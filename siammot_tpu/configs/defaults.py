@@ -215,6 +215,11 @@ _C.TPU.POOLER_WINDOWED = True
 # for the no-window-coverage-caveat gather path (PARITY.md dev. 5/9),
 # e.g. for SEARCH_REGION > 2 recipes whose SR spans exceed WINDOW_SR.
 _C.TPU.TRAIN_POOLER_WINDOWED = True
+# ship raw uint8 frames and normalize on device (4x less host->HBM
+# traffic; exact — the augmentation pipeline is uint8 end-to-end and the
+# pad is re-zeroed post-normalization).  False restores the reference's
+# host-side Normalize transform.
+_C.TPU.DEVICE_NORMALIZE = True
 _C.TPU.WINDOW_BOX = 64
 _C.TPU.WINDOW_TEMPLATE = 64
 _C.TPU.WINDOW_SR = 128

@@ -311,13 +311,18 @@ def build_siam_augmentation(cfg, is_train=True, modality="video") -> Compose:
         flip_prob = 0.0
         jitter = None
 
-    return Compose([
+    steps = [
         jitter,
         MotionBlur(blur_prob),
         JpegCompression(compression),
         MotionAugment(motion_limit, cfg.INPUT.AMODAL),
         ClipResize(min_size, max_size, cfg.DATALOADER.SIZE_DIVISIBILITY),
         ClipHFlip(flip_prob),
-        Normalize(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
-                  cfg.INPUT.TO_BGR255),
-    ])
+    ]
+    if not cfg.TPU.DEVICE_NORMALIZE:
+        # host-side normalization (reference pipeline); default is raw
+        # uint8 frames normalized on device (models/siammot.py
+        # normalize_images — same math, 4x less host->HBM traffic)
+        steps.append(Normalize(cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
+                               cfg.INPUT.TO_BGR255))
+    return Compose(steps)

@@ -114,7 +114,7 @@ class IterationLoader:
                     return
                 if isinstance(item, BaseException):
                     raise item
-                yield item[:2]
+                yield item[:3]
         finally:
             stop.set()
 

@@ -289,9 +289,13 @@ class ClipCollator:
             mw = max(f.shape[1] for f in frames)
             mh = -(-mh // self.divisor) * self.divisor
             mw = -(-mw // self.divisor) * self.divisor
-        images = np.zeros((len(frames), mh, mw, 3), np.float32)
+        # dtype-preserving: uint8 frames (device-side normalization) ship
+        # 4x less data than normalized f32
+        images = np.zeros((len(frames), mh, mw, 3), frames[0].dtype)
+        sizes = np.zeros((len(frames), 2), np.int32)
         for i, f in enumerate(frames):
             images[i, :f.shape[0], :f.shape[1]] = f
+            sizes[i] = (f.shape[1], f.shape[0])            # (w, h)
 
         # batch-unique uid remap, consistent within each video's clip
         uid = 0
@@ -321,4 +325,4 @@ class ClipCollator:
 
         gt = Boxes(boxes=boxes, scores=np.ones((n, g), np.float32), ids=ids,
                    labels=labels, valid=valid)
-        return images, gt, video_ids
+        return images, gt, sizes, video_ids

@@ -42,6 +42,14 @@ def _load():
     lib.fio_image_size.restype = ctypes.c_int
     lib.fio_pool_create.argtypes = [ctypes.c_int]
     lib.fio_pool_create.restype = ctypes.c_int
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.fio_decode_file_u8.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                       ctypes.c_int, u8p]
+    lib.fio_decode_file_u8.restype = ctypes.c_int
+    lib.fio_decode_batch_u8.argtypes = [ctypes.c_int,
+                                        ctypes.POINTER(ctypes.c_char_p),
+                                        ctypes.c_int, ctypes.c_int, u8p]
+    lib.fio_decode_batch_u8.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -77,6 +85,34 @@ def decode_resize_normalize(path: str, out_w: int, out_h: int,
     std = np.ascontiguousarray(std, np.float32)
     rc = lib.fio_decode_file(path.encode(), out_w, out_h, _f32p(mean),
                              _f32p(std), _f32p(out))
+    return out if rc == 0 else None
+
+
+def decode_resize(path: str, out_w: int, out_h: int) -> Optional[np.ndarray]:
+    """Decode one JPEG to raw uint8 [out_h, out_w, 3] RGB (device-side
+    normalization path — 4x less host->device transfer)."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((out_h, out_w, 3), np.uint8)
+    rc = lib.fio_decode_file_u8(
+        path.encode(), out_w, out_h,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out if rc == 0 else None
+
+
+def decode_batch_u8(paths: Sequence[str], out_w: int,
+                    out_h: int) -> Optional[np.ndarray]:
+    """Decode n JPEGs concurrently to [n, out_h, out_w, 3] uint8."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, out_h, out_w, 3), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    rc = lib.fio_decode_batch_u8(
+        n, arr, out_w, out_h,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out if rc == 0 else None
 
 

@@ -47,6 +47,10 @@ class EvalTransform:
         self.std = np.asarray(cfg.INPUT.PIXEL_STD, np.float32)
         self.to_bgr255 = cfg.INPUT.TO_BGR255
         self.divisor = cfg.DATALOADER.SIZE_DIVISIBILITY or 32
+        # ship uint8, normalize on device (models/siammot.normalize_images
+        # re-zeroes the pad past image_size) — 4x less transfer
+        self.device_normalize = bool(getattr(cfg.TPU, "DEVICE_NORMALIZE",
+                                             False))
 
     def input_size(self, w: int, h: int):
         return resize_dims(w, h, self.min_size, self.max_size)
@@ -56,6 +60,9 @@ class EvalTransform:
         nw, nh = self.input_size(w, h)
         if (nw, nh) != (w, h):
             frame = cv2.resize(frame, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        if self.device_normalize and frame.dtype == np.uint8:
+            x = pad_to_divisible(np.ascontiguousarray(frame), self.divisor)
+            return x[None], (nw, nh)
         x = frame.astype(np.float32)
         if self.to_bgr255:
             x = x[..., ::-1]

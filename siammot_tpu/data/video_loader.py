@@ -124,11 +124,15 @@ def normalized_frame_source(path: str, transform, depth: int = 4):
                 w, h = size
                 nw, nh = transform.input_size(w, h)
 
+                device_norm = bool(getattr(transform, "device_normalize",
+                                           False))
+
                 def gen():
                     from .transforms import pad_to_divisible
                     for f in files:
-                        x = native.decode_resize_normalize(
-                            f, nw, nh, transform.mean, transform.std)
+                        x = native.decode_resize(f, nw, nh) if device_norm \
+                            else native.decode_resize_normalize(
+                                f, nw, nh, transform.mean, transform.std)
                         if x is None:  # corrupt file: cv2 fallback
                             img = cv2.cvtColor(cv2.imread(f),
                                                cv2.COLOR_BGR2RGB)

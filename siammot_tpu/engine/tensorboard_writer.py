@@ -33,8 +33,11 @@ class TensorboardWriter:
         imgs = np.asarray(images)[:max_images]
         out = []
         for i, im in enumerate(imgs):
-            x = np.clip((im * self._std + self._mean) * 255.0, 0,
-                        255).astype(np.uint8).copy()
+            if im.dtype == np.uint8:     # raw frames (device-normalize mode)
+                x = im.copy()
+            else:
+                x = np.clip((im * self._std + self._mean) * 255.0, 0,
+                            255).astype(np.uint8).copy()
             if gt is not None:
                 boxes = np.asarray(gt.boxes[i])
                 valid = np.asarray(gt.valid[i])

@@ -72,7 +72,7 @@ def do_train(model, train_step, params, opt_state, data_loader, checkpointer,
     end = time.time()
 
     iteration = start_iter
-    for images, gt in data_loader:
+    for images, gt, frame_sizes in data_loader:
         if iteration >= max_iter or stop_requested:
             break
         iteration += 1
@@ -82,7 +82,8 @@ def do_train(model, train_step, params, opt_state, data_loader, checkpointer,
         with jax.profiler.StepTraceAnnotation("train_step",
                                               step_num=iteration):
             params, opt_state, metrics = train_step(params, opt_state,
-                                                    images, gt, step_rng)
+                                                    images, gt,
+                                                    frame_sizes, step_rng)
 
         if iteration % log_period == 0 or iteration == max_iter:
             host = {k: float(v) for k, v in metrics.items()}

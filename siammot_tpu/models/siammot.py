@@ -43,6 +43,39 @@ from .track_state import TrackState, rebuild_state
 UPSCALE = 16  # reference upsamples response maps x16 (track_core.py:69-71)
 
 
+def normalize_images(images, pixel_mean, pixel_std, to_bgr255=False,
+                     frame_sizes=None):
+    """Device-side pixel normalization of raw uint8 frames.
+
+    Exactly the host ``Normalize`` transform's f32 math ((x/255 - mean) /
+    std, or BGR*255 mode), run on device so the host->HBM transfer is
+    uint8 (4x smaller — the tunneled-chip train loop is transfer-bound).
+    ``frame_sizes`` [B, 2] (w, h) re-zeroes each frame's padded border
+    AFTER normalization, matching the reference's pad-after-normalize
+    (maskrcnn ``to_image_list``): without it the pad would be black
+    (-mean/std) instead of 0.  Pass None when the input has no padding or
+    came pre-normalized (f32 passthrough).
+    """
+    if images.dtype != jnp.uint8:
+        return images
+    x = images.astype(jnp.float32)
+    if to_bgr255:
+        x = x[..., ::-1]
+    else:
+        x = x / 255.0
+    mean = jnp.asarray(pixel_mean, jnp.float32)
+    std = jnp.asarray(pixel_std, jnp.float32)
+    x = (x - mean) / std
+    if frame_sizes is not None:
+        h, w = x.shape[1:3]
+        xs = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 2)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 1)
+        mask = (xs < frame_sizes[:, None, None, 0:1]) & \
+            (ys < frame_sizes[:, None, None, 1:2])
+        x = jnp.where(mask, x, 0.0)
+    return x
+
+
 class SiamMOTNet(nn.Module):
     """Parameter container; staged apply methods drive each sub-network."""
 
@@ -58,6 +91,12 @@ class SiamMOTNet(nn.Module):
     use_pallas: bool = True
     stage_with_dcn: tuple = (False,) * 6
     s2d_stem: bool = False
+    # pixel normalization for uint8 inputs (device-side: the host ships
+    # raw uint8 frames — 4x less host->HBM traffic — and the normalize
+    # fuses into the stem conv).  float32 inputs are assumed normalized.
+    pixel_mean: tuple = (0.0, 0.0, 0.0)
+    pixel_std: tuple = (1.0, 1.0, 1.0)
+    to_bgr255: bool = False
 
     def setup(self):
         self.body = build_dla(self.conv_body, self.stage_with_dcn,
@@ -71,6 +110,9 @@ class SiamMOTNet(nn.Module):
 
     def features(self, images):
         dt = jnp.dtype(self.compute_dtype)
+        if images.dtype == jnp.uint8:
+            images = normalize_images(images, self.pixel_mean,
+                                      self.pixel_std, self.to_bgr255)
         feats = self.fpn(self.body(images.astype(dt)))
         return [f.astype(jnp.float32) for f in feats]
 
@@ -145,6 +187,9 @@ class SiamMOT:
             use_pallas=cfg.TPU.USE_PALLAS,
             stage_with_dcn=tuple(cfg.MODEL.DLA.STAGE_WITH_DCN),
             s2d_stem=cfg.TPU.S2D_STEM,
+            pixel_mean=tuple(cfg.INPUT.PIXEL_MEAN),
+            pixel_std=tuple(cfg.INPUT.PIXEL_STD),
+            to_bgr255=bool(cfg.INPUT.TO_BGR255),
         )
 
         self._cell_anchors = [
@@ -225,6 +270,11 @@ class SiamMOT:
         image_size = image_size or (w, h)
         k = self.max_tracks
         params = self.cast_params(params)
+        # uint8 input: normalize on device, re-zeroing the pad beyond the
+        # static image_size (f32 input passes through untouched)
+        images = normalize_images(
+            images, net.pixel_mean, net.pixel_std, net.to_bgr255,
+            frame_sizes=jnp.asarray([image_size], jnp.int32))
 
         feats = net.apply(params, images, method=net.features)
         feats1 = [f[0] for f in feats]
@@ -321,7 +371,8 @@ class SiamMOT:
     # -- training step ------------------------------------------------------
 
     def forward_train(self, params, rng, images: jnp.ndarray, gt: Boxes,
-                      image_size: Optional[tuple] = None):
+                      image_size: Optional[tuple] = None,
+                      frame_sizes: Optional[jnp.ndarray] = None):
         """Training forward pass -> loss dict.
 
         Args:
@@ -331,6 +382,8 @@ class SiamMOT:
             an index flip ``i ^ 1``.
           gt: batched padded Boxes, fields [B, G(, 4)], with batch-unique
             instance ids in ``ids``.
+          frame_sizes: [B, 2] int32 (w, h) valid extents for uint8 inputs
+            (device-side normalization re-zeroes each frame's pad).
 
         Returns dict of the 7 reference losses
         (rpn objectness/box, box cls/reg, track cls/motion/center).
@@ -340,6 +393,8 @@ class SiamMOT:
         assert b % 2 == 0, "training batch must be frame pairs"
         params = self.cast_params(params)
         image_size = image_size or (w, h)
+        images = normalize_images(images, net.pixel_mean, net.pixel_std,
+                                  net.to_bgr255, frame_sizes=frame_sizes)
         anchors = self.anchors_for((h, w))
         rcfg = self.rcfg_train
         t = self.cfg.MODEL.TRACK_HEAD

@@ -108,13 +108,14 @@ def build_train_step(model, tx, mesh: Mesh, image_size=None):
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
 
-    def local_grads(params, images, gt, rng):
+    def local_grads(params, images, gt, frame_sizes, rng):
         # decorrelate per-device sampling; data differs per shard anyway
         rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
 
         def loss_fn(p):
             losses = model.forward_train(p, rng, images, gt,
-                                         image_size=image_size)
+                                         image_size=image_size,
+                                         frame_sizes=frame_sizes)
             return sum(losses.values()), losses
 
         (total, losses), grads = jax.value_and_grad(
@@ -128,12 +129,13 @@ def build_train_step(model, tx, mesh: Mesh, image_size=None):
     # here is per-device anyway.
     sharded_grads = jax.shard_map(
         local_grads, mesh=mesh,
-        in_specs=(P(), P("data"), P("data"), P()),
+        in_specs=(P(), P("data"), P("data"), P("data"), P()),
         out_specs=(P(), P(), P()),
         check_vma=False)
 
-    def step(params, opt_state, images, gt, rng):
-        grads, total, losses = sharded_grads(params, images, gt, rng)
+    def step(params, opt_state, images, gt, frame_sizes, rng):
+        grads, total, losses = sharded_grads(params, images, gt,
+                                             frame_sizes, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics = dict(losses, loss=total)
@@ -141,7 +143,7 @@ def build_train_step(model, tx, mesh: Mesh, image_size=None):
 
     return jax.jit(
         step,
-        in_shardings=(repl, repl, data, data, repl),
+        in_shardings=(repl, repl, data, data, data, repl),
         out_shardings=(repl, repl, repl),
         donate_argnums=(0, 1),
     )

@@ -51,7 +51,15 @@ def test_eval_transform_normalizes_and_pads():
     x, (w, h) = tr(frame)
     assert x.shape[0] == 1 and x.shape[3] == 3
     assert x.shape[1] % 32 == 0 and x.shape[2] % 32 == 0
-    # 128/255 normalized by imagenet stats
+    # device-normalize default: raw uint8 through to the device
+    assert x.dtype == np.uint8 and int(x[0, 0, 0, 0]) == 128
+
+    cfg2 = get_cfg()
+    cfg2.INPUT.MIN_SIZE_TEST = 64
+    cfg2.INPUT.MAX_SIZE_TEST = 96
+    cfg2.TPU.DEVICE_NORMALIZE = False
+    x, _ = EvalTransform(cfg2)(frame)
+    # 128/255 normalized by imagenet stats (host mode)
     expect = (128 / 255.0 - 0.485) / 0.229
     assert abs(float(x[0, 0, 0, 0]) - expect) < 1e-5
 

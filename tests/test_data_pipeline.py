@@ -73,8 +73,17 @@ def test_full_augmentation_runs():
     frames, targets = pipeline([img, img.copy()],
                                [make_target().resize((160, 120))] * 2,
                                random.Random(0))
-    assert frames[0].dtype == np.float32
+    # device-normalize default: raw uint8 out (models normalize on device)
+    assert frames[0].dtype == np.uint8
     assert frames[0].shape[0] % 32 == 0 and frames[0].shape[1] % 32 == 0
+
+    cfg2 = get_cfg()
+    cfg2.TPU.DEVICE_NORMALIZE = False
+    pipeline = build_siam_augmentation(cfg2, is_train=True, modality="image")
+    frames, targets = pipeline([img, img.copy()],
+                               [make_target().resize((160, 120))] * 2,
+                               random.Random(0))
+    assert frames[0].dtype == np.float32
     # normalized output roughly centered
     assert abs(float(np.mean(frames[0]))) < 3.0
 
@@ -118,9 +127,13 @@ def test_image_dataset_and_collator(tmp_path):
     assert len(targets[0]) == 2  # dedupe + crowd dropped
 
     collator = ClipCollator(size_divisibility=32, max_gt=8)
-    images, gt, vids = collator([ds[(i, 7)] for i in range(3)])
+    images, gt, sizes, vids = collator([ds[(i, 7)] for i in range(3)])
     assert images.shape[0] == 6 and images.shape[3] == 3
     assert images.shape[1] % 32 == 0
+    assert images.dtype == np.uint8      # device-normalize default
+    assert sizes.shape == (6, 2)
+    assert (sizes[:, 0] <= images.shape[2]).all()
+    assert (sizes[:, 1] <= images.shape[1]).all()
     assert gt.boxes.shape == (6, 8, 4)
     # uids batch-unique and consistent within each clip pair
     for i in range(0, 6, 2):

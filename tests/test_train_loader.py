@@ -40,19 +40,21 @@ def test_loader_deterministic_and_shaped(tmp_path):
     cfg.DATALOADER.NUM_WORKERS = 2
     cfg.TPU.MAX_GT = 8
 
-    batches_a = [(i.copy(), g) for i, g in
+    batches_a = [(i.copy(), g, s) for i, g, s in
                  build_train_data_loader(cfg, seed=7)]
-    batches_b = [(i.copy(), g) for i, g in
+    batches_b = [(i.copy(), g, s) for i, g, s in
                  build_train_data_loader(cfg, seed=7)]
     assert len(batches_a) == 3
-    for (ia, ga), (ib, gb) in zip(batches_a, batches_b):
+    for (ia, ga, sa), (ib, gb, sb) in zip(batches_a, batches_b):
+        np.testing.assert_array_equal(sa, sb)
         np.testing.assert_array_equal(ia, ib)
         np.testing.assert_array_equal(np.asarray(ga.boxes),
                                       np.asarray(gb.boxes))
         np.testing.assert_array_equal(np.asarray(ga.ids),
                                       np.asarray(gb.ids))
 
-    images, gt = batches_a[0]
+    images, gt, sizes = batches_a[0]
+    assert images.dtype == np.uint8 and sizes.shape == (4, 2)
     assert images.shape[0] == 4            # 2 clips x 2 frames
     assert images.shape[1] % 32 == 0 and images.shape[2] % 32 == 0
     assert gt.boxes.shape == (4, 8, 4)
@@ -61,7 +63,7 @@ def test_loader_deterministic_and_shaped(tmp_path):
         set(np.asarray(gt.ids[1])[np.asarray(gt.valid[1])].tolist())
 
     # different seed -> different sample selection (almost surely)
-    batches_c = [(i.copy(), g) for i, g in
+    batches_c = [(i.copy(), g, s) for i, g, s in
                  build_train_data_loader(cfg, seed=8)]
     assert any(not np.array_equal(a[0], c[0])
                for a, c in zip(batches_a, batches_c))

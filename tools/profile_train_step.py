@@ -70,9 +70,11 @@ def main():
                labels=jnp.ones((b, g), jnp.int32),
                valid=jnp.ones((b, g), bool))
 
+    sizes = jnp.tile(jnp.asarray([[w, h]], jnp.int32), (b, 1))
     key = jax.random.PRNGKey(1)
     t0 = time.time()
-    params, opt_state, metrics = step(params, opt_state, images, gt, key)
+    params, opt_state, metrics = step(params, opt_state, images, gt, sizes,
+                                      key)
     loss0 = float(metrics["loss"])  # force (compile + first run)
     print(f"compile+first step: {time.time() - t0:.1f}s  loss {loss0:.4f}")
 
@@ -80,7 +82,8 @@ def main():
     for i in range(args.iters):
         key, k = jax.random.split(key)
         t0 = time.time()
-        params, opt_state, metrics = step(params, opt_state, images, gt, k)
+        params, opt_state, metrics = step(params, opt_state, images, gt,
+                                          sizes, k)
         _ = float(metrics["loss"])  # sync (block_until_ready unreliable on axon)
         times.append(time.time() - t0)
     times = np.asarray(times)
