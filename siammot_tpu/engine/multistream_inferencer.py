@@ -74,8 +74,13 @@ def _run_wave(cfg, model, params, step, wave, transforms, dataset_root,
     t0 = time.perf_counter()
     frame_idx = 0
     n_net_frames = 0
+    # dtype matters: uint8 batches are normalized on device (the model keys
+    # on input dtype, models/siammot.py forward_inference); silently
+    # upcasting uint8 frames to f32 here would skip normalization
+    batch_dtype = np.uint8 if getattr(transforms, "device_normalize",
+                                      False) else np.float32
     while any(alive):
-        batch = np.zeros((n_streams, 1, pad_hw[0], pad_hw[1], 3), np.float32)
+        batch = np.zeros((n_streams, 1, pad_hw[0], pad_hw[1], 3), batch_dtype)
         for i, src in enumerate(sources):
             if not alive[i]:
                 continue

@@ -100,6 +100,55 @@ class Bottleneck(nn.Module):
         return nn.relu(out + residual)
 
 
+class Bottle2neck(nn.Module):
+    """DLA Res2Net bottleneck (reference ``DlaBottle2neck``, dla.py:108-170).
+
+    1x1 expand to ``scale`` splits of ``width`` channels; splits 0..scale-2
+    go through 3x3 grouped convs with a running-sum cascade (cascade
+    disabled on stride>1 blocks, where the last split is avg-pooled
+    instead of passed through); concat -> 1x1 project -> residual."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    scale: int = 4
+    cardinality: int = 8
+    base_width: int = 4
+    expansion: int = 2
+
+    @nn.compact
+    def __call__(self, x, residual=None):
+        if residual is None:
+            residual = x
+        is_first = self.stride > 1
+        mid = int(math.floor(self.planes * (self.base_width / 64))
+                  * self.cardinality) // self.expansion
+        out = conv(mid * self.scale, 1, name="conv1")(x)
+        out = nn.relu(FrozenBN(mid * self.scale, name="bn1")(out))
+        spx = [out[..., i * mid:(i + 1) * mid] for i in range(self.scale)]
+        spo = []
+        sp = None
+        for i in range(max(1, self.scale - 1)):
+            sp = spx[i] if i == 0 or is_first else sp + spx[i]
+            sp = conv(mid, 3, self.stride, self.dilation,
+                      groups=self.cardinality, name=f"convs_{i}")(sp)
+            spo.append(nn.relu(FrozenBN(mid, name=f"bns_{i}")(sp)))
+            sp = spo[-1]
+        if self.scale > 1:
+            last = spx[-1]
+            if is_first:
+                # torch AvgPool2d(3, stride, 1) counts padded zeros
+                last = nn.avg_pool(last, (3, 3),
+                                   strides=(self.stride, self.stride),
+                                   padding=((1, 1), (1, 1)),
+                                   count_include_pad=True)
+            spo.append(last)
+        out = jnp.concatenate(spo, axis=-1)
+        out = conv(self.planes, 1, name="conv3")(out)
+        out = FrozenBN(self.planes, name="bn3")(out)
+        return nn.relu(out + residual)
+
+
 class Root(nn.Module):
     """Aggregation node: 1x1 conv over concat(children) (dla.py:172-189)."""
 
@@ -315,9 +364,10 @@ class DLA(nn.Module):
         bk = self.block_kwargs or {}
 
         def stage_kwargs(stage: int) -> dict:
-            # DCN applies to bottleneck stages only (reference DlaBasic
-            # swallows with_dcn, dla.py:30; dcn_config[2..5], dla.py:265-271)
-            if self.stage_with_dcn[stage] and self.block is not BasicBlock:
+            # DCN applies to plain bottleneck stages only (reference DlaBasic
+            # swallows with_dcn, dla.py:30, and DlaBottle2neck takes none;
+            # dcn_config[2..5], dla.py:265-271)
+            if self.stage_with_dcn[stage] and self.block is Bottleneck:
                 return dict(bk, with_dcn=True)
             return bk
 
@@ -367,6 +417,10 @@ DLA_VARIANTS = {
                           block_kwargs=dict(cardinality=32, base_width=4)),
     "DLA-60-FPN": dict(levels=(1, 1, 1, 2, 3, 1),
                        channels=(16, 32, 128, 256, 512, 1024), block=Bottleneck),
+    "DLA-60-RES2NET-FPN": dict(levels=(1, 1, 1, 2, 3, 1),
+                               channels=(16, 32, 128, 256, 512, 1024),
+                               block=Bottle2neck,
+                               block_kwargs=dict(cardinality=1, base_width=28)),
     "DLA-102-FPN": dict(levels=(1, 1, 1, 3, 4, 1),
                         channels=(16, 32, 128, 256, 512, 1024), block=Bottleneck,
                         residual_root=True),

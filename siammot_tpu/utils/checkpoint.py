@@ -173,6 +173,11 @@ def import_torch_checkpoint(path_or_state, params_template):
             if f"{tprefix}.conv{c}.weight" in sd:
                 conv(f"{tprefix}.conv{c}", f"{jprefix}/conv{c}")
                 bn(f"{tprefix}.bn{c}", f"{jprefix}/bn{c}")
+        i = 0  # Bottle2neck scale convs (nn.ModuleList convs/bns)
+        while f"{tprefix}.convs.{i}.weight" in sd:
+            conv(f"{tprefix}.convs.{i}", f"{jprefix}/convs_{i}")
+            bn(f"{tprefix}.bns.{i}", f"{jprefix}/bns_{i}")
+            i += 1
 
     def map_tree(tprefix: str, jprefix: str):
         if f"{tprefix}.project.0.weight" in sd:
@@ -300,6 +305,11 @@ def export_torch_checkpoint(params) -> dict:
             if f"{jprefix}/conv{c}/kernel" in flat:
                 conv(f"{tprefix}.conv{c}", f"{jprefix}/conv{c}")
                 bn(f"{tprefix}.bn{c}", f"{jprefix}/bn{c}")
+        i = 0  # Bottle2neck scale convs
+        while f"{jprefix}/convs_{i}/kernel" in flat:
+            conv(f"{tprefix}.convs.{i}", f"{jprefix}/convs_{i}")
+            bn(f"{tprefix}.bns.{i}", f"{jprefix}/bns_{i}")
+            i += 1
 
     def map_tree(tprefix, jprefix):
         if f"{jprefix}/project_conv/kernel" in flat:
