@@ -50,9 +50,19 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
 
     iou = box_iou(sboxes, sboxes)
     tri = jnp.tril(jnp.ones((n, n), dtype=bool), k=-1)  # tri[j, i]: j before i
-    # overlap[j, i] = True if earlier box j suppresses later box i
+    # overlap[j, i] = True if earlier box j suppresses later box i.
+    # Stored bf16 (halves the per-round matrix read) — products are exact
+    # 0/1 counts accumulated in f32.
     overlap = (iou > iou_threshold) & tri.T
-    overlap_f = overlap.astype(jnp.float32)
+    # bf16 0/1 matrix on TPU (halves the per-round read; exact under f32
+    # accumulation); CPU's dot has no bf16 support
+    mat_dt = jnp.bfloat16 if jax.default_backend() in ("tpu", "axon") \
+        else jnp.float32
+    overlap_f = overlap.astype(mat_dt)
+    # materialize before the while_loop: loop regions are fusion-opaque
+    # and XLA otherwise fuses the whole IoU-matrix chain INTO the loop
+    # body, recomputing it every round
+    overlap_f = jax.lax.optimization_barrier(overlap_f)
 
     decided0 = ~svalid
     keep0 = jnp.zeros((n,), dtype=bool)
@@ -63,18 +73,32 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
 
     def body(state):
         decided, keep = state
-        undecided = (~decided).astype(jnp.float32)
-        kept = keep.astype(jnp.float32)
+        # ONE [2, n] @ [n, n] MXU matmul per round: separate mat-vecs
+        # lower to M=1 VPU reduces with T(1,128) layouts that re-read the
+        # whole matrix at 1/8 sublane utilization (measured 2.5 ms for
+        # ~11 rounds at 5x1000 boxes; this form is ~0.2 ms)
+        vec = jnp.stack([~decided, keep]).astype(overlap_f.dtype)
+        prods = jax.lax.dot_general(
+            vec, overlap_f, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)     # [2, n]
         # box i still blocked if an undecided earlier box overlaps it
-        blocked = (undecided @ overlap_f) > 0.5
+        blocked = prods[0] > 0.5
         # box i killed if any kept earlier box overlaps it
-        killed = (kept @ overlap_f) > 0.5
+        killed = prods[1] > 0.5
         can_decide = ~decided & (~blocked | killed)
         new_keep = keep | (can_decide & ~killed)
         new_decided = decided | can_decide
         return new_decided, new_keep
 
-    _, keep_sorted = jax.lax.while_loop(cond, body, (decided0, keep0))
+    # Static-trip prologue + dynamic epilogue: a data-dependent while pays
+    # a scalar-core sync per round on TPU (~0.16 ms/round measured at
+    # 5x1000 boxes — 10x the body's matmul).  The fixed point converges in
+    # 3-11 rounds on real data, so 16 pipelined fori rounds usually leave
+    # the while with a single (converged) cond evaluation; stragglers
+    # keep iterating there, so the result stays exactly the greedy one.
+    state = jax.lax.fori_loop(0, 16, lambda t, st: body(st),
+                              (decided0, keep0))
+    _, keep_sorted = jax.lax.while_loop(cond, body, state)
 
     if max_out is not None and max_out < n:
         rank = jnp.cumsum(keep_sorted.astype(jnp.int32)) - 1

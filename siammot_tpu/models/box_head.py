@@ -43,7 +43,7 @@ class BoxHeadFeatureExtractor(nn.Module):
     compute_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, features, rois, levels, pack=None):
+    def __call__(self, features, rois, levels, pack=None, valid=None):
         # features: list of [N, Hi, Wi, C]; rois [N, R, 4]; levels [N, R]
         if pack is not None:  # windowed fast path (inference)
             from ..ops.roi_align_windowed import windowed_pool
@@ -51,7 +51,9 @@ class BoxHeadFeatureExtractor(nn.Module):
             img_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)
             pool = windowed_pool(pack, rois.reshape(-1, 4), img_idx,
                                  levels.reshape(-1), self.resolution,
-                                 self.sampling_ratio, self.window)
+                                 self.sampling_ratio, self.window,
+                                 valid=None if valid is None
+                                 else valid.reshape(-1))
             pool = pool.reshape(b, r, *pool.shape[1:])
         else:
             pool = jax.vmap(
@@ -59,6 +61,8 @@ class BoxHeadFeatureExtractor(nn.Module):
                     fs, r, l, self.resolution, self.scales,
                     self.sampling_ratio)
             )([f for f in features[:len(self.scales)]], rois, levels)
+            if valid is not None:  # match the windowed path's zeroed lanes
+                pool = jnp.where(valid[..., None, None, None], pool, 0.0)
         # pooling stays f32-exact; the MLP computes in the trunk dtype
         x = pool.reshape(pool.shape[0], pool.shape[1], -1)
         x = x.astype(jnp.dtype(self.compute_dtype))
@@ -92,11 +96,11 @@ class BoxHead(nn.Module):
     compute_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, features, rois, levels, pack=None):
+    def __call__(self, features, rois, levels, pack=None, valid=None):
         x = BoxHeadFeatureExtractor(
             self.resolution, self.scales, self.sampling_ratio, self.mlp_dim,
             compute_dtype=self.compute_dtype,
-            name="feature_extractor")(features, rois, levels, pack)
+            name="feature_extractor")(features, rois, levels, pack, valid)
         return BoxHeadPredictor(self.num_classes, name="predictor")(x)
 
 

@@ -126,24 +126,30 @@ class EMMHead(nn.Module):
 # ---------------------------------------------------------------------------
 
 def pool_template(features, boxes, img_idx, ecfg: EMMConfig, pack=None,
-                  window: int = 64):
+                  window: int = 64, valid=None):
     """15x15 template crops at track boxes (unpadded coords).
 
     ``pack`` (a ``LevelPack``) selects the windowed-separable pooler —
     the inference fast path; the exact gather pooler otherwise.
+    ``valid`` rows marked False pool to zeros and skip their window work
+    (dead fixed-capacity slots).
     """
     levels = map_rois_to_levels(boxes, 2, 2 + len(ecfg.scales) - 1)
     if pack is not None:
         from ..ops.roi_align_windowed import windowed_pool
         return windowed_pool(pack, boxes, img_idx, levels, ecfg.resolution,
-                             ecfg.sampling_ratio, window)
-    return multilevel_roi_align_batched(
+                             ecfg.sampling_ratio, window, valid=valid)
+    out = multilevel_roi_align_batched(
         features, boxes, img_idx, levels, ecfg.resolution, ecfg.scales,
         ecfg.sampling_ratio)
+    if valid is not None:   # match the windowed path's zeroed dead lanes
+        out = jnp.where(valid[:, None, None, None], out, 0.0)
+    return out
 
 
 def pool_search_region(features, template_boxes, sr_boxes, img_idx,
-                       ecfg: EMMConfig, pack=None, window: int = 128):
+                       ecfg: EMMConfig, pack=None, window: int = 128,
+                       valid=None):
     """30x30 SR crops: level from the template box, crop from the SR box in
     padded coords (``sr_pool.py:64-74``)."""
     levels = map_rois_to_levels(template_boxes, 2, 2 + len(ecfg.scales) - 1)
@@ -151,10 +157,13 @@ def pool_search_region(features, template_boxes, sr_boxes, img_idx,
         from ..ops.roi_align_windowed import windowed_pool
         return windowed_pool(pack, sr_boxes, img_idx, levels, ecfg.sr_size,
                              ecfg.sampling_ratio, window,
-                             pad_pixels=ecfg.pad_pixels)
-    return multilevel_roi_align_batched(
+                             pad_pixels=ecfg.pad_pixels, valid=valid)
+    out = multilevel_roi_align_batched(
         features, sr_boxes, img_idx, levels, ecfg.sr_size, ecfg.scales,
         ecfg.sampling_ratio, pad_pixels=ecfg.pad_pixels)
+    if valid is not None:
+        out = jnp.where(valid[:, None, None, None], out, 0.0)
+    return out
 
 
 def make_search_region(boxes: jnp.ndarray, ecfg: EMMConfig) -> jnp.ndarray:

@@ -124,8 +124,8 @@ class SiamMOTNet(nn.Module):
         return ([l.astype(jnp.float32) for l in logits],
                 [d.astype(jnp.float32) for d in deltas])
 
-    def box_predict(self, feats, rois, levels, pack=None):
-        cl, bd = self.box(feats, rois, levels, pack)
+    def box_predict(self, feats, rois, levels, pack=None, valid=None):
+        cl, bd = self.box(feats, rois, levels, pack, valid)
         return cl.astype(jnp.float32), bd.astype(jnp.float32)
 
     def emm_predict(self, sr_feats, templates):
@@ -303,9 +303,11 @@ class SiamMOT:
         # ---- track propagation (EMM) over K padded slots
         occupied = state.occupied
         batched_feats = [f[None] for f in feats1]
+        # dead capacity slots skip their pooling work entirely (valid=)
         sr_feats = pool_search_region(batched_feats, state.boxes, state.sr,
                                       jnp.zeros((k,), jnp.int32), ecfg,
-                                      pack=pack, window=self.window_sr)
+                                      pack=pack, window=self.window_sr,
+                                      valid=occupied)
         cls_l, ctr_l, reg_l = net.apply(params, sr_feats, state.template,
                                         method=net.emm_predict)
         tboxes, tconf = decode_response_fused(cls_l, ctr_l, reg_l, state.sr,
@@ -317,9 +319,10 @@ class SiamMOT:
 
         # ---- shared box-head pass: proposals + track refinement
         all_rois = jnp.concatenate([prop.boxes, tboxes], axis=0)
+        all_valid = jnp.concatenate([prop.valid, tvalid], axis=0)
         levels = pool_levels(all_rois, len(self.net.box_scales))
         cl, bd = net.apply(params, feats, all_rois[None], levels[None],
-                           pack, method=net.box_predict)
+                           pack, all_valid[None], method=net.box_predict)
         cl, bd = cl[0], bd[0]
         n_prop = prop.capacity
 
@@ -357,7 +360,8 @@ class SiamMOT:
         fresh_template = pool_template(batched_feats, act.boxes,
                                        jnp.zeros((k,), jnp.int32), ecfg,
                                        pack=pack,
-                                       window=self.window_template)
+                                       window=self.window_template,
+                                       valid=act.valid)
         fresh_sr = make_search_region(act.boxes, ecfg)
 
         new_state = rebuild_state(

@@ -42,13 +42,14 @@ def _stripe_rows(window: int) -> int:
     return window
 
 
-def _kernel(origins_ref,              # scalar-prefetch: [N, 2] (row0+oy, ox)
+def _kernel(origins_ref,              # scalar-prefetch: [N, 4]
+            # (row0+oy, ox, out block, n_valid) — ROIs sorted valid-first
             wyt_ref, wx_ref,          # [1, win, S] / [1, S, win] blocks
             table_ref,                # full [R, Wmax, C] in ANY/HBM
             out_ref,                  # [1, S, S, C] block (f32)
             win_buf, sems, *, window: int, c: int, hb: int, n_buf: int):
     i = pl.program_id(0)
-    n = pl.num_programs(0)
+    n_valid = origins_ref[0, 3]
     wyt = wyt_ref[0]                                # [win, S]
     wx = wx_ref[0]                                  # [S, win]
     s = wx.shape[0]
@@ -63,17 +64,24 @@ def _kernel(origins_ref,              # scalar-prefetch: [N, 2] (row0+oy, ox)
             win_buf.at[slot], sems.at[slot])
 
     if n_buf == 2:
-        @pl.when(i == 0)
+        @pl.when((i == 0) & (n_valid > 0))
         def _():
             dma(0, 0, 0).start()
+
+    # dead (invalid) slots: zero output, no DMA, no matmuls — capacity
+    # padding costs ~an HBM write instead of a full window pool
+    @pl.when(i >= n_valid)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
 
     def stripe(k, _):
         slot = (i * k_str + k) % 2 if n_buf == 2 else 0
         if n_buf == 2:
-            # prefetch the next stripe in the global (roi, stripe) order
+            # prefetch the next stripe in the global (roi, stripe) order,
+            # chain bounded by the live prefix
             g_next = i * k_str + k + 1
 
-            @pl.when(g_next < n * k_str)
+            @pl.when(g_next < n_valid * k_str)
             def _():
                 dma((g_next) % 2, g_next // k_str, g_next % k_str).start()
         else:
@@ -113,10 +121,12 @@ def _kernel(origins_ref,              # scalar-prefetch: [N, 2] (row0+oy, ox)
                 out_ref[0] = out_ref[0] + contrib
         return 0
 
-    jax.lax.fori_loop(0, k_str, stripe, 0)
+    @pl.when(i < n_valid)
+    def _():
+        jax.lax.fori_loop(0, k_str, stripe, 0)
 
 
-def _bwd_kernel(origins_ref,              # scalar-prefetch: [N, 2]
+def _bwd_kernel(origins_ref,              # scalar-prefetch: [N, 4]
                 wyt_ref, wx_ref,          # [1, win, S] / [1, S, win] blocks
                 g_ref,                    # [1, S, S, C] block (cotangent)
                 zeros_ref,                # aliased to dtable_ref (unused)
@@ -124,6 +134,7 @@ def _bwd_kernel(origins_ref,              # scalar-prefetch: [N, 2]
                 win_buf, sems, *, window: int, c: int, hb: int):
     del zeros_ref
     i = pl.program_id(0)
+    n_valid = origins_ref[0, 3]
     ox = pl.multiple_of(origins_ref[i, 1], 8)
     row0 = origins_ref[i, 0]
 
@@ -164,15 +175,34 @@ def _bwd_kernel(origins_ref,              # scalar-prefetch: [N, 2]
         write.wait()
         return 0
 
-    jax.lax.fori_loop(0, k_str, stripe, 0)
+    # dead slots contribute nothing (their forward output is constant 0)
+    @pl.when(i < n_valid)
+    def _():
+        jax.lax.fori_loop(0, k_str, stripe, 0)
+
+
+def _scalar_rows(origins: jnp.ndarray, out_blocks, n_valid) -> jnp.ndarray:
+    """[N, 2] (row, col) origins -> [N, 4] kernel scalar rows
+    (row, col, out block, n_valid)."""
+    n = origins.shape[0]
+    if out_blocks is None:
+        out_blocks = jnp.arange(n, dtype=jnp.int32)
+    nv = jnp.full((n,), n, jnp.int32) if n_valid is None else \
+        jnp.broadcast_to(jnp.asarray(n_valid, jnp.int32).reshape(()), (n,))
+    return jnp.stack([origins[:, 0].astype(jnp.int32),
+                      origins[:, 1].astype(jnp.int32),
+                      out_blocks.astype(jnp.int32), nv], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("table_shape", "table_dtype",
-                                             "window", "interpret"))
+                                             "window", "interpret",
+                                             "compacted"))
 def window_pool_pallas_bwd(g: jnp.ndarray, origins: jnp.ndarray,
                            wy: jnp.ndarray, wx: jnp.ndarray,
                            table_shape, table_dtype, window: int,
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           out_blocks=None, n_valid=None,
+                           compacted: bool = False) -> jnp.ndarray:
     """dL/dtable for ``window_pool_pallas``.
 
     Feature-gradient only, like the reference ROIAlign backward
@@ -185,6 +215,11 @@ def window_pool_pallas_bwd(g: jnp.ndarray, origins: jnp.ndarray,
     c = table_shape[-1]
     hb = _stripe_rows(window)
     zeros = jnp.zeros(table_shape, table_dtype)
+    if compacted:
+        # g arrives in original slot order; the kernel walks ROIs in
+        # sorted (valid-first) order, so gather g rows to match
+        g = jnp.take(g, out_blocks.astype(jnp.int32), axis=0)
+    scalars = _scalar_rows(origins, out_blocks, n_valid)
     wyt = jnp.swapaxes(wy, 1, 2)                    # [N, win, S]
     kernel = functools.partial(_bwd_kernel, window=window, c=c, hb=hb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -211,43 +246,52 @@ def window_pool_pallas_bwd(g: jnp.ndarray, origins: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct(table_shape, table_dtype),
         input_output_aliases={4: 0},    # zeros table buffer -> dtable
         interpret=interpret,
-    )(origins, wyt, wx, g.astype(jnp.float32), zeros)
+    )(scalars, wyt, wx, g.astype(jnp.float32), zeros)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _window_pool_vjp(table, origins, wy, wx, window: int,
-                     channel_block: int, interpret: bool):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _window_pool_vjp(table, origins, wy, wx, out_blocks, n_valid,
+                     window: int, channel_block: int, interpret: bool,
+                     compacted: bool):
     return window_pool_pallas(table, origins, wy, wx, window,
-                              channel_block, interpret)
+                              channel_block, interpret, out_blocks, n_valid)
 
 
-def _window_pool_fwd(table, origins, wy, wx, window, channel_block,
-                     interpret):
+def _window_pool_fwd(table, origins, wy, wx, out_blocks, n_valid, window,
+                     channel_block, interpret, compacted):
     out = window_pool_pallas(table, origins, wy, wx, window,
-                             channel_block, interpret)
+                             channel_block, interpret, out_blocks, n_valid)
     # table rides along only for its static shape/dtype in bwd
-    return out, (origins, wy, wx, table)
+    return out, (origins, wy, wx, out_blocks, n_valid, table)
 
 
-def _window_pool_bwd(window, channel_block, interpret, res, g):
-    origins, wy, wx, table = res
+def _window_pool_bwd(window, channel_block, interpret, compacted, res, g):
+    origins, wy, wx, out_blocks, n_valid, table = res
     dtable = window_pool_pallas_bwd(g, origins, wy, wx, table.shape,
                                     table.dtype, window,
-                                    interpret=interpret)
+                                    interpret=interpret,
+                                    out_blocks=out_blocks, n_valid=n_valid,
+                                    compacted=compacted)
     # feature-only gradient (reference ROIAlign backward parity)
-    return (dtable, jnp.zeros_like(origins), jnp.zeros_like(wy),
-            jnp.zeros_like(wx))
+    zl = jax.tree.map(jnp.zeros_like, (origins, wy, wx, out_blocks, n_valid))
+    return (dtable,) + zl
 
 
 _window_pool_vjp.defvjp(_window_pool_fwd, _window_pool_bwd)
 
 
 def window_pool(table, origins, wy, wx, window: int,
-                channel_block: int = 128, interpret: bool = False):
+                channel_block: int = 128, interpret: bool = False,
+                out_blocks=None, n_valid=None):
     """Differentiable window pooling: Pallas forward + Pallas scatter
-    backward (feature-gradient only, like the reference ROIAlign)."""
-    return _window_pool_vjp(table, origins, wy, wx, window, channel_block,
-                            interpret)
+    backward (feature-gradient only, like the reference ROIAlign).
+
+    ``out_blocks``/``n_valid`` enable compacted mode: ROI inputs arrive
+    sorted valid-first, program i writes output block ``out_blocks[i]``,
+    and programs past ``n_valid`` skip the pool and write zeros."""
+    return _window_pool_vjp(table, origins, wy, wx, out_blocks, n_valid,
+                            window, channel_block, interpret,
+                            out_blocks is not None)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "channel_block",
@@ -255,7 +299,8 @@ def window_pool(table, origins, wy, wx, window: int,
 def window_pool_pallas(table: jnp.ndarray, origins: jnp.ndarray,
                        wy: jnp.ndarray, wx: jnp.ndarray, window: int,
                        channel_block: int = 128,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False,
+                       out_blocks=None, n_valid=None) -> jnp.ndarray:
     """Pooling samples (pre bin-average).
 
     Args:
@@ -263,14 +308,21 @@ def window_pool_pallas(table: jnp.ndarray, origins: jnp.ndarray,
         slice is in bounds).  DMA slices on the lane dim must be
         128-aligned, so C must be a multiple of 128 (cast/pad upstream).
       origins: [N, 2] int32 (absolute row, col) window origins; columns
-        8-aligned.
-      wy/wx: [N, S, window] dense interpolation weights.
+        8-aligned.  In compacted mode, sorted valid-first with dead rows
+        zeroed (kept in-bounds).
+      wy/wx: [N, S, window] dense interpolation weights (sorted order in
+        compacted mode).
+      out_blocks: [N] int32 original slot of sorted ROI i (None =
+        identity).
+      n_valid: scalar count of live ROIs (None = all N).
 
-    Returns [N, S, S, C] float32 interpolated samples.
+    Returns [N, S, S, C] float32 interpolated samples, in original slot
+    order; dead slots are zeros.
     """
     del channel_block  # full-channel windows; kept for API stability
     n, s = wy.shape[:2]
     c = table.shape[-1]
+    scalars = _scalar_rows(origins, out_blocks, n_valid)
     # bf16 windows <= 128 fit VMEM whole (the proven inference envelope,
     # one DMA per ROI); stripe otherwise (f32 tables / larger windows)
     hb = window if table.dtype.itemsize <= 2 and window <= 128 \
@@ -292,7 +344,8 @@ def window_pool_pallas(table: jnp.ndarray, origins: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, s, s, c), lambda i, o: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, s, s, c),
+                               lambda i, o: (o[i, 2], 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((n_buf, hb, window, c), table.dtype),
@@ -304,4 +357,4 @@ def window_pool_pallas(table: jnp.ndarray, origins: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, s, s, c), jnp.float32),
         interpret=interpret,
-    )(origins, wyt, wx, table)
+    )(scalars, wyt, wx, table)

@@ -68,11 +68,15 @@ def pack_levels(features: list, scales: tuple, dtype=None) -> LevelPack:
 def windowed_pool(pack: LevelPack, rois: jnp.ndarray, img_idx: jnp.ndarray,
                   levels: jnp.ndarray, output_size: int, sampling_ratio: int,
                   window: int, pad_pixels: int = 0,
-                  backend: str = "auto") -> jnp.ndarray:
+                  backend: str = "auto", valid=None) -> jnp.ndarray:
     """FPN pooling over a LevelPack (drop-in for the gather pooler).
 
     backend "auto": the fused Pallas kernel on TPU (windows stay in VMEM),
     the XLA formulation elsewhere.
+
+    ``valid`` ([N] bool, optional): rows marked invalid pool to zeros and
+    skip their window DMA + matmuls entirely (fixed-capacity padding lanes
+    cost ~an HBM write instead of a full pool).
     """
     if backend == "auto":
         backend = "pallas" if jax.default_backend() in ("tpu", "axon") \
@@ -82,7 +86,7 @@ def windowed_pool(pack: LevelPack, rois: jnp.ndarray, img_idx: jnp.ndarray,
         pack.table, pack.row_offsets, pack.heights, pack.widths, rois,
         img_idx * pack.num_levels + levels, scales, output_size,
         sampling_ratio, window, pad_pixels, pack.num_levels,
-        backend=backend)
+        backend=backend, valid=valid)
 
 
 def stack_levels(features: list, img_idx_levels: int = None):
@@ -163,7 +167,7 @@ def roi_align_windowed(table: jnp.ndarray, row_offsets: jnp.ndarray,
                        scales: jnp.ndarray, output_size: int,
                        sampling_ratio: int, window: int,
                        pad_pixels: int = 0, num_levels: int = 4,
-                       backend: str = "xla"):
+                       backend: str = "xla", valid=None):
     """ROIAlign over a stacked level table.
 
     Args:
@@ -222,8 +226,25 @@ def roi_align_windowed(table: jnp.ndarray, row_offsets: jnp.ndarray,
         # differentiable wrapper: Pallas forward + Pallas scatter backward
         from .pallas.window_pool import window_pool
         origins = jnp.stack([row0 + oy, ox], axis=-1).astype(jnp.int32)
-        acc = window_pool(table, origins, wy, wx, window)
+        if valid is None:
+            acc = window_pool(table, origins, wy, wx, window)
+        else:
+            # compact live ROIs to a prefix so the kernel can skip the
+            # dead tail; outputs land back in original slots via the
+            # out-block scatter
+            perm = jnp.argsort(~valid, stable=True).astype(jnp.int32)
+            n_valid = jnp.sum(valid).astype(jnp.int32)
+            live = (jnp.arange(n, dtype=jnp.int32) < n_valid)[:, None]
+            origins = jnp.where(live, origins[perm], 0)  # dead: in-bounds
+            acc = window_pool(table, origins, wy[perm], wx[perm], window,
+                              out_blocks=perm, n_valid=n_valid)
     else:
+        if valid is not None:
+            # zero the weights of dead rows (where, not multiply: dead
+            # rows may hold NaN boxes): output becomes exact zeros,
+            # matching the Pallas compacted path
+            wy = jnp.where(valid[:, None, None], wy, 0.0)
+
         # one contiguous block load per ROI
         def load(roi_row0, roi_ox):
             return jax.lax.dynamic_slice(

@@ -34,9 +34,9 @@ def test_window_pool_pallas_matches_xla(rng):
     orig = window_pool_pallas
     try:
         def interp(table, origins, wy, wx, window, channel_block=128,
-                   interpret=False):
+                   interpret=False, out_blocks=None, n_valid=None):
             return orig(table, origins, wy, wx, window, channel_block,
-                        interpret=True)
+                        True, out_blocks, n_valid)
         import siammot_tpu.ops.pallas.window_pool as wp
         wp_orig = wp.window_pool_pallas
         wp.window_pool_pallas = interp

@@ -115,8 +115,8 @@ def main():
             return chained(one, image, n)
         report("features (body+fpn)", mk)
 
-    head_stages = {"rpn", "select", "pack", "box", "srpool", "emm",
-                   "decode", "solver", "template", "step"}
+    head_stages = {"rpn", "select", "selnonms", "topk", "nms", "tail", "pack", "box",
+                   "srpool", "emm", "decode", "solver", "template", "step"}
     if which & head_stages:
         from functools import partial
         from siammot_tpu.models.siammot import UPSCALE
@@ -163,6 +163,88 @@ def main():
                                                   model.rcfg_test))
                 return chained(one, (logits, deltas), n)
             report("proposal select+nms", mk)
+
+        if "tail" in which:
+            kf = min(model.rcfg_test.fpn_post_nms_top_n, 5000)
+            sc5k = jnp.asarray(np.random.RandomState(1)
+                               .rand(1, 5000).astype(np.float32))
+
+            def mk(n):
+                def one(sc, s):
+                    masked = sc + s
+                    top, idx = jax.lax.top_k(masked, kf)
+                    return jnp.sum(top) + jnp.sum(idx.astype(jnp.float32))
+                return chained(one, sc5k, n)
+            report("  select: final top_k", mk)
+
+            def mk(n):
+                def one(sc, s):
+                    masked = sc + s
+                    order = jnp.argsort(-masked, axis=-1, stable=True)
+                    idx = order[..., :kf]
+                    top = jnp.take_along_axis(masked, idx, axis=-1)
+                    return jnp.sum(top) + jnp.sum(idx.astype(jnp.float32))
+                return chained(one, sc5k, n)
+            report("  select: sort variant", mk)
+
+        if "selnonms" in which:
+            import siammot_tpu.models.rpn as rpn_mod
+            saved = rpn_mod.nms_mask
+            try:
+                rpn_mod.nms_mask = \
+                    lambda boxes, scores, valid, iou_threshold, max_out: valid
+
+                def mk(n):
+                    def one(ld, s):
+                        l2 = [l + s.astype(l.dtype) for l in ld[0]]
+                        return sum32(select_proposals(
+                            l2, ld[1], anchors, (w, h), model.rcfg_test))
+                    return chained(one, (logits, deltas), n)
+                report("  select minus nms", mk)
+            finally:
+                rpn_mod.nms_mask = saved
+
+        if "topk" in which or "nms" in which:
+            from siammot_tpu.models.rpn import _topk_level
+            from siammot_tpu.core.nms import nms_mask
+
+            def run_topk(lgs, dls):
+                outs = []
+                for lg, dl, anch in zip(lgs, dls, anchors):
+                    n_, h_, w_, a_ = lg.shape
+                    fn = jax.vmap(partial(_topk_level, image_size=(w, h),
+                                          rcfg=model.rcfg_test,
+                                          k=model.rcfg_test.pre_nms_top_n),
+                                  in_axes=(0, 0, None))
+                    outs.append(fn(lg.reshape(n_, -1),
+                                   dl.reshape(n_, -1, 4), anch))
+                return outs
+
+            if "topk" in which:
+                def mk(n):
+                    def one(ld, s):
+                        l2 = [l + s.astype(l.dtype) for l in ld[0]]
+                        return sum32(run_topk(l2, ld[1]))
+                    return chained(one, (logits, deltas), n)
+                report("  select: topk+decode", mk)
+
+            if "nms" in which:
+                outs = jax.jit(lambda: run_topk(logits, deltas))()
+                sb = jnp.stack([o[0] for o in outs]).reshape(
+                    -1, model.rcfg_test.pre_nms_top_n, 4)
+                ss = jnp.stack([o[1] for o in outs]).reshape(sb.shape[:2])
+                sk = jnp.stack([o[2] for o in outs]).reshape(sb.shape[:2])
+
+                def mk(n):
+                    def one(b, s):
+                        nmsf = jax.vmap(partial(
+                            nms_mask,
+                            iou_threshold=model.rcfg_test.nms_thresh,
+                            max_out=model.rcfg_test.post_nms_top_n))
+                        return jnp.sum(nmsf(b + s, ss, sk)
+                                       .astype(jnp.float32))
+                    return chained(one, sb, n)
+                report("  select: batched nms", mk)
 
         if "pack" in which:
             def mk(n):
