@@ -26,6 +26,23 @@ from .boxes import box_iou
 
 NEG_INF = -1e10
 
+# Round schedule (module-level so profilers/tests can override):
+# FORI_ROUNDS pipelined static rounds (cheap: the whole-body matmul
+# round is ~5 us), then a data-dependent while epilogue for stragglers
+# (exactness at any suppression-chain depth).  Real data converges in
+# 3-11 rounds, so the epilogue usually sees one converged cond check.
+# NOTE for profiling: a while_loop inside a lax.scan timing harness
+# serializes scan iterations and wildly inflates per-iter slopes
+# (measured 2.5 ms "cost" that does not exist in the real once-per-frame
+# step); disable the epilogue when loop-amplifying, and trust only
+# full-step deltas for while-bearing graphs.
+FORI_ROUNDS = 16
+DYNAMIC_EPILOGUE = True
+
+
+def _use_epilogue() -> bool:
+    return DYNAMIC_EPILOGUE
+
 
 def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
              iou_threshold: float, max_out: int | None = None) -> jnp.ndarray:
@@ -90,15 +107,14 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
         new_decided = decided | can_decide
         return new_decided, new_keep
 
-    # Static-trip prologue + dynamic epilogue: a data-dependent while pays
-    # a scalar-core sync per round on TPU (~0.16 ms/round measured at
-    # 5x1000 boxes — 10x the body's matmul).  The fixed point converges in
-    # 3-11 rounds on real data, so 16 pipelined fori rounds usually leave
-    # the while with a single (converged) cond evaluation; stragglers
-    # keep iterating there, so the result stays exactly the greedy one.
-    state = jax.lax.fori_loop(0, 16, lambda t, st: body(st),
+    # Static rounds (pipelined, ~free) + optional dynamic epilogue for
+    # exactness past FORI_ROUNDS-deep suppression chains — see the
+    # schedule notes at the top of the file.
+    state = jax.lax.fori_loop(0, FORI_ROUNDS, lambda t, st: body(st),
                               (decided0, keep0))
-    _, keep_sorted = jax.lax.while_loop(cond, body, state)
+    if _use_epilogue():
+        state = jax.lax.while_loop(cond, body, state)
+    keep_sorted = state[1]
 
     if max_out is not None and max_out < n:
         rank = jnp.cumsum(keep_sorted.astype(jnp.int32)) - 1

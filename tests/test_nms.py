@@ -92,3 +92,38 @@ def test_nms_large_dense(rng):
     got = np.asarray(nms_mask(jnp.asarray(boxes), jnp.asarray(scores),
                               jnp.ones(n, bool), 0.5))
     np.testing.assert_array_equal(got, want)
+
+
+def test_fori_only_schedule_matches_oracle(rng):
+    """The TPU round schedule (static rounds, no while epilogue) is exact
+    on realistic suppression depths."""
+    import siammot_tpu.core.nms as nms_core
+    boxes = rand_cluster_boxes(rng, 400)
+    scores = rng.rand(400).astype(np.float32)
+    want = oracle_nms(boxes, scores, 0.5)
+    saved = nms_core.DYNAMIC_EPILOGUE
+    try:
+        nms_core.DYNAMIC_EPILOGUE = False
+        got = np.asarray(nms_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                                  jnp.ones(400, bool), 0.5))
+    finally:
+        nms_core.DYNAMIC_EPILOGUE = saved
+    np.testing.assert_array_equal(got, want)
+
+
+def test_epilogue_exact_past_round_budget(rng):
+    """A chain deeper than FORI_ROUNDS: the dynamic epilogue (CPU
+    default) still reproduces serial greedy exactly."""
+    import siammot_tpu.core.nms as nms_core
+    n = nms_core.FORI_ROUNDS * 2 + 10
+    # descending-score boxes, each overlapping only its neighbor ->
+    # greedy keeps every even-indexed box via an n-deep decision chain
+    x = np.arange(n, dtype=np.float32) * 6.0
+    boxes = np.stack([x, np.zeros(n, np.float32),
+                      x + 10.0, np.full(n, 10.0, np.float32)], -1)
+    scores = np.linspace(1.0, 0.5, n).astype(np.float32)
+    want = oracle_nms(boxes, scores, 0.25)
+    assert want[::2].all() and not want[1::2].any()
+    got = np.asarray(nms_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                              jnp.ones(n, bool), 0.25))
+    np.testing.assert_array_equal(got, want)

@@ -115,7 +115,7 @@ def main():
             return chained(one, image, n)
         report("features (body+fpn)", mk)
 
-    head_stages = {"rpn", "select", "selnonms", "topk", "nms", "tail", "pack", "box",
+    head_stages = {"rpn", "select", "selnonms", "selfori", "topk", "nms", "tail", "pack", "box",
                    "srpool", "emm", "decode", "solver", "template", "step"}
     if which & head_stages:
         from functools import partial
@@ -186,6 +186,24 @@ def main():
                     return jnp.sum(top) + jnp.sum(idx.astype(jnp.float32))
                 return chained(one, sc5k, n)
             report("  select: sort variant", mk)
+
+        if "selfori" in which:
+            import siammot_tpu.core.nms as nms_core
+            sv = (nms_core.FORI_ROUNDS, nms_core.DYNAMIC_EPILOGUE)
+            for rounds in (16, 32, 64):
+                try:
+                    nms_core.FORI_ROUNDS = rounds
+                    nms_core.DYNAMIC_EPILOGUE = False
+
+                    def mk(n):
+                        def one(ld, s):
+                            l2 = [l + s.astype(l.dtype) for l in ld[0]]
+                            return sum32(select_proposals(
+                                l2, ld[1], anchors, (w, h), model.rcfg_test))
+                        return chained(one, (logits, deltas), n)
+                    report(f"  select fori-only {rounds}", mk)
+                finally:
+                    nms_core.FORI_ROUNDS, nms_core.DYNAMIC_EPILOGUE = sv
 
         if "selnonms" in which:
             import siammot_tpu.models.rpn as rpn_mod
