@@ -34,6 +34,10 @@ def main():
                         choices=("person", "person_vehicle"))
     parser.add_argument("--model-file", default=None,
                         help="reference .pth or Orbax checkpoint")
+    parser.add_argument("--config-file", default=None,
+                        help="override the bundled per-class config "
+                             "(e.g. to match a custom checkpoint's "
+                             "training resolution)")
     parser.add_argument("--dump-video", type=lambda s: s.lower() == "true",
                         default=True)
     parser.add_argument("--vis-resolution", type=int, default=None,
@@ -54,7 +58,8 @@ def main():
     tracker = DemoInference(track_class=args.track_class,
                             model_path=args.model_file,
                             vis_generator=vis_generator,
-                            vis_writer=vis_writer)
+                            vis_writer=vis_writer,
+                            config_file=args.config_file)
 
     n_tracks = set()
     for frame_id, (xywh, ids, labels, scores) in \

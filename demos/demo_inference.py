@@ -23,7 +23,8 @@ TRACK_CLASSES = ("person", "person_vehicle")
 
 class DemoInference:
     def __init__(self, track_class: str = "person", model_path: str = None,
-                 vis_generator=None, vis_writer=None):
+                 vis_generator=None, vis_writer=None,
+                 config_file: str = None):
         if track_class not in TRACK_CLASSES:
             raise ValueError(f"track_class must be one of {TRACK_CLASSES}")
         import jax
@@ -32,8 +33,9 @@ class DemoInference:
         from siammot_tpu.data.transforms import EvalTransform
         from siammot_tpu.models.siammot import SiamMOT
 
-        cfg_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "configs", f"DLA34_emm_{track_class}.yaml")
+        cfg_file = config_file or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "configs", f"DLA34_emm_{track_class}.yaml")
         cfg = get_cfg()
         cfg.merge_from_file(cfg_file)
         cfg.freeze()
@@ -61,14 +63,21 @@ class DemoInference:
                         len(leftovers))
         elif model_path:
             from siammot_tpu.utils.checkpoint import Checkpointer
-            ckptr = Checkpointer(model_path if os.path.isdir(model_path)
-                                 else os.path.dirname(model_path) or ".")
-            restored = ckptr.load(
-                model_path if not os.path.isdir(model_path) else None,
-                like={"params": self.params, "opt_state": None,
-                      "iteration": 0})
-            if restored:
-                self.params = restored["params"]
+            # model_path is either one Orbax checkpoint (.../model_NNN) or
+            # a run dir holding several (pick the latest) — same rule as
+            # tools/test_net.py
+            is_ckpt = os.path.basename(
+                os.path.normpath(model_path)).startswith("model_")
+            ckptr = Checkpointer(os.path.dirname(os.path.normpath(
+                model_path)) if is_ckpt else model_path)
+            restored = ckptr.load(model_path if is_ckpt else None,
+                                  like=None)
+            if not restored:
+                raise FileNotFoundError(
+                    f"no checkpoint found at {model_path}")
+            self.params = restored["params"]
+            logger.info("loaded checkpoint at iter %s",
+                        restored.get("iteration"))
         else:
             logger.warning("no model_path given — running with random "
                            "weights (smoke mode). The reference downloads "

@@ -222,6 +222,16 @@ def roi_align_windowed(table: jnp.ndarray, row_offsets: jnp.ndarray,
     wy = _axis_weights(ys, h_arr, pads, oy, window)      # [N, S, win]
     wx = _axis_weights(xs, w_arr, pads, ox, window)
 
+    # Fold the r x r bin-average into the weight matrices (linearity of
+    # ROIAlign: mean_a,b sum_h,w wy[or+a,h] wx[or+b,w] F = sum_h,w
+    # (mean_a wy)[o,h] (mean_b wx)[o,w] F).  The pool then emits the
+    # final [N, out, out, C] directly — 4x less kernel output traffic
+    # (236 MB of pre-average samples at SR-pool shapes) and no separate
+    # mean epilogue.
+    if sampling_ratio > 1:
+        wy = wy.reshape(n, output_size, sampling_ratio, window).mean(axis=2)
+        wx = wx.reshape(n, output_size, sampling_ratio, window).mean(axis=2)
+
     if backend == "pallas":
         # differentiable wrapper: Pallas forward + Pallas scatter backward
         from .pallas.window_pool import window_pool
@@ -255,6 +265,4 @@ def roi_align_windowed(table: jnp.ndarray, row_offsets: jnp.ndarray,
                          preferred_element_type=jnp.float32)
         acc = jnp.einsum("ntw,nswc->nstc", wx, tmp,
                          preferred_element_type=jnp.float32)
-    acc = acc.reshape(n, output_size, sampling_ratio, output_size,
-                      sampling_ratio, c)
-    return acc.mean(axis=(2, 4)).astype(jnp.float32)
+    return acc.astype(jnp.float32)       # [N, out, out, C]

@@ -68,3 +68,44 @@ def test_video_iterator_file(tmp_path):
     frames = list(it)
     assert len(frames) == 4
     assert frames[0][1].shape == (24, 32, 3)
+
+
+def test_demo_inference_restores_orbax_checkpoint(tmp_path):
+    """Regression: pointing --model-file at a single Orbax checkpoint dir
+    (run_dir/model_NNN) silently fell back to random weights (the loader
+    scanned *inside* it for model_* children)."""
+    import jax
+    import yaml
+
+    from demos.demo_inference import DemoInference
+    from siammot_tpu.configs.defaults import get_cfg
+    from siammot_tpu.models.siammot import SiamMOT
+    from siammot_tpu.utils.checkpoint import Checkpointer
+
+    cfg_file = tmp_path / "tiny.yaml"
+    overrides = {"INPUT": {"MIN_SIZE_TEST": 64, "MAX_SIZE_TEST": 96},
+                 "TPU": {"MAX_TRACKS": 4}}
+    cfg_file.write_text(yaml.safe_dump(overrides))
+
+    cfg = get_cfg()
+    cfg.merge_from_file(str(cfg_file))
+    cfg.freeze()
+    model = SiamMOT(cfg)
+    params = model.init_params(jax.random.PRNGKey(1), (64, 64))
+
+    run_dir = tmp_path / "run"
+    Checkpointer(str(run_dir)).save(3, params, opt_state=None)
+
+    for target in (str(run_dir / "model_0000003"), str(run_dir)):
+        demo = DemoInference(model_path=target, config_file=str(cfg_file))
+        a = jax.tree.leaves(params)
+        b = jax.tree.leaves(demo.params)
+        assert all(np.array_equal(np.asarray(x), np.asarray(y))
+                   for x, y in zip(a, b)), target
+
+    try:
+        DemoInference(model_path=str(tmp_path / "nope"),
+                      config_file=str(cfg_file))
+        raise AssertionError("missing checkpoint must raise")
+    except FileNotFoundError:
+        pass
