@@ -47,6 +47,18 @@ _C.MODEL.DLA.DLA_STAGE5_OUT_CHANNELS = 512
 _C.MODEL.DLA.BACKBONE_OUT_CHANNELS = 128
 _C.MODEL.DLA.STAGE_WITH_DCN = (False, False, False, False, False, False)
 
+# ResNet bodies (maskrcnn-benchmark MODEL.RESNETS defaults; the reference
+# model zoo's R-50/R-101 Faster-RCNN detector inits use these via
+# maskrcnn's resnet.py — Caffe2 conventions incl. STRIDE_IN_1X1)
+_C.MODEL.RESNETS = CN()
+_C.MODEL.RESNETS.NUM_GROUPS = 1
+_C.MODEL.RESNETS.WIDTH_PER_GROUP = 64
+_C.MODEL.RESNETS.STRIDE_IN_1X1 = True
+_C.MODEL.RESNETS.STEM_OUT_CHANNELS = 64
+_C.MODEL.RESNETS.RES2_OUT_CHANNELS = 256
+_C.MODEL.RESNETS.BACKBONE_OUT_CHANNELS = 256
+_C.MODEL.RESNETS.STAGE_WITH_DCN = (False, False, False, False)
+
 # RPN (reference defaults.py:9-15 + maskrcnn base)
 _C.MODEL.RPN = CN()
 _C.MODEL.RPN.USE_FPN = True

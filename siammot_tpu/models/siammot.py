@@ -91,6 +91,8 @@ class SiamMOTNet(nn.Module):
     use_pallas: bool = True
     stage_with_dcn: tuple = (False,) * 6
     s2d_stem: bool = False
+    # ResNet bodies only (CONV_BODY "R-*"); ignored for DLA
+    resnet_opts: tuple = ()
     # pixel normalization for uint8 inputs (device-side: the host ships
     # raw uint8 frames — 4x less host->HBM traffic — and the normalize
     # fuses into the stem conv).  float32 inputs are assumed normalized.
@@ -99,8 +101,13 @@ class SiamMOTNet(nn.Module):
     to_bgr255: bool = False
 
     def setup(self):
-        self.body = build_dla(self.conv_body, self.stage_with_dcn,
-                              self.s2d_stem)
+        if self.conv_body.startswith("R-"):
+            from .resnet import build_resnet
+            self.body = build_resnet(self.conv_body,
+                                     **dict(self.resnet_opts))
+        else:
+            self.body = build_dla(self.conv_body, self.stage_with_dcn,
+                                  self.s2d_stem)
         self.fpn = FPN(self.fpn_channels)
         self.rpn = RPNHead(self.num_anchors)
         self.box = BoxHead(self.box_resolution, self.box_scales,
@@ -154,7 +161,9 @@ class SiamMOT:
 
     def __init__(self, cfg):
         self.cfg = cfg
-        self.channels = cfg.MODEL.DLA.BACKBONE_OUT_CHANNELS
+        is_resnet = cfg.MODEL.BACKBONE.CONV_BODY.startswith("R-")
+        self.channels = (cfg.MODEL.RESNETS.BACKBONE_OUT_CHANNELS if is_resnet
+                         else cfg.MODEL.DLA.BACKBONE_OUT_CHANNELS)
         self.num_classes = cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES
         self.ecfg = EMMConfig.from_cfg(cfg)
         self.hcfg = BoxHeadConfig.from_cfg(cfg)
@@ -187,6 +196,14 @@ class SiamMOT:
             use_pallas=cfg.TPU.USE_PALLAS,
             stage_with_dcn=tuple(cfg.MODEL.DLA.STAGE_WITH_DCN),
             s2d_stem=cfg.TPU.S2D_STEM,
+            resnet_opts=tuple(sorted({
+                "stage_with_dcn": tuple(cfg.MODEL.RESNETS.STAGE_WITH_DCN),
+                "num_groups": cfg.MODEL.RESNETS.NUM_GROUPS,
+                "width_per_group": cfg.MODEL.RESNETS.WIDTH_PER_GROUP,
+                "stride_in_1x1": cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+                "stem_channels": cfg.MODEL.RESNETS.STEM_OUT_CHANNELS,
+                "res2_out_channels": cfg.MODEL.RESNETS.RES2_OUT_CHANNELS,
+            }.items())) if is_resnet else (),
             pixel_mean=tuple(cfg.INPUT.PIXEL_MEAN),
             pixel_std=tuple(cfg.INPUT.PIXEL_STD),
             to_bgr255=bool(cfg.INPUT.TO_BGR255),

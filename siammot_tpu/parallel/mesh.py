@@ -66,12 +66,31 @@ def make_optimizer(cfg, params):
     """SGD + momentum with the reference's per-parameter policy
     (``maskrcnn make_optimizer``): weight decay only on weights; biases get
     2x LR and no decay; FrozenBN scale/bias never move (zero grads via
-    stop_gradient + no decay here)."""
+    stop_gradient + no decay here).
+
+    ``MODEL.BACKBONE.FREEZE_CONV_BODY_AT`` freezes the ResNet stem
+    (at >= 1) and ``layer1..layer{at-1}`` (maskrcnn ``_freeze_backbone``,
+    a ResNet-body feature — the reference's DLA bodies ignore it, as
+    here)."""
     schedule = make_lr_schedule(cfg)
+    freeze_at = cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT
+
+    def _frozen(path) -> bool:
+        if freeze_at <= 0:
+            return False
+        keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+        if "body" not in keys:
+            return False
+        mod = keys[keys.index("body") + 1]
+        if mod.startswith("stem_"):
+            return True
+        return any(mod.startswith(f"layer{s}_")
+                   for s in range(1, freeze_at))
 
     def label_fn(params):
         return jax.tree_util.tree_map_with_path(
-            lambda p, _: "bias" if _is_bias_like(p) else "weight", params)
+            lambda p, _: "frozen" if _frozen(p)
+            else ("bias" if _is_bias_like(p) else "weight"), params)
 
     def sgd(lr_factor, weight_decay):
         def scaled(it):
@@ -84,7 +103,8 @@ def make_optimizer(cfg, params):
 
     return optax.multi_transform(
         {"weight": sgd(1.0, cfg.SOLVER.WEIGHT_DECAY),
-         "bias": sgd(cfg.SOLVER.BIAS_LR_FACTOR, cfg.SOLVER.WEIGHT_DECAY_BIAS)},
+         "bias": sgd(cfg.SOLVER.BIAS_LR_FACTOR, cfg.SOLVER.WEIGHT_DECAY_BIAS),
+         "frozen": optax.set_to_zero()},
         label_fn)
 
 

@@ -134,9 +134,26 @@ def import_torch_checkpoint(path_or_state, params_template):
         used.add(tkey + ".weight")
         used.add(tkey + ".bias")
 
-    # ---- DLA body
+    # ---- body
     body = "backbone.body."
-    if "params/body/stem/s2d_base_conv/kernel" in flat:
+    if "params/body/stem_conv1/kernel" in flat:
+        # ResNet body (maskrcnn resnet.py names: stem.conv1/bn1,
+        # layer{s}.{b}.conv{1,2,3}/bn{1,2,3}, downsample.[0,1])
+        conv(body + "stem.conv1", "params/body/stem_conv1")
+        bn(body + "stem.bn1", "params/body/stem_bn1")
+        for s in (1, 2, 3, 4):
+            b = 0
+            while f"{body}layer{s}.{b}.conv1.weight" in sd:
+                tb = f"{body}layer{s}.{b}"
+                jb = f"params/body/layer{s}_{b}"
+                for c in (1, 2, 3):
+                    conv(f"{tb}.conv{c}", f"{jb}/conv{c}")
+                    bn(f"{tb}.bn{c}", f"{jb}/bn{c}")
+                if f"{tb}.downsample.0.weight" in sd:
+                    conv(f"{tb}.downsample.0", f"{jb}/downsample_conv")
+                    bn(f"{tb}.downsample.1", f"{jb}/downsample_bn")
+                b += 1
+    elif "params/body/stem/s2d_base_conv/kernel" in flat:
         # model uses the space-to-depth stem: phase-decompose the stem
         # weights (exact; see models/dla.py stem_to_s2d)
         from ..models.dla import stem_to_s2d
@@ -192,8 +209,9 @@ def import_torch_checkpoint(path_or_state, params_template):
             map_tree(f"{tprefix}.tree1", f"{jprefix}/tree1")
             map_tree(f"{tprefix}.tree2", f"{jprefix}/tree2")
 
-    for lvl in (2, 3, 4, 5):
-        map_tree(f"{body}level{lvl}", f"params/body/level{lvl}")
+    if "params/body/stem_conv1/kernel" not in flat:   # DLA trees only
+        for lvl in (2, 3, 4, 5):
+            map_tree(f"{body}level{lvl}", f"params/body/level{lvl}")
 
     # ---- FPN
     for i in (1, 2, 3, 4):
@@ -260,7 +278,23 @@ def export_torch_checkpoint(params) -> dict:
         sd[tkey + ".bias"] = np.asarray(flat[jprefix + "/bias"])
 
     body = "backbone.body."
-    if "params/body/stem/s2d_base_conv/kernel" in flat:
+    if "params/body/stem_conv1/kernel" in flat:
+        # ResNet body
+        conv(body + "stem.conv1", "params/body/stem_conv1")
+        bn(body + "stem.bn1", "params/body/stem_bn1")
+        for s in (1, 2, 3, 4):
+            b = 0
+            while f"params/body/layer{s}_{b}/conv1/kernel" in flat:
+                tb = f"{body}layer{s}.{b}"
+                jb = f"params/body/layer{s}_{b}"
+                for c in (1, 2, 3):
+                    conv(f"{tb}.conv{c}", f"{jb}/conv{c}")
+                    bn(f"{tb}.bn{c}", f"{jb}/bn{c}")
+                if f"{jb}/downsample_conv/kernel" in flat:
+                    conv(f"{tb}.downsample.0", f"{jb}/downsample_conv")
+                    bn(f"{tb}.downsample.1", f"{jb}/downsample_bn")
+                b += 1
+    elif "params/body/stem/s2d_base_conv/kernel" in flat:
         from ..models.dla import s2d_to_stem
         s2d_tree = {}
         for mod in ("s2d_base_conv", "s2d_base_bn", "s2d_level0_conv",
@@ -324,8 +358,9 @@ def export_torch_checkpoint(params) -> dict:
             map_tree(f"{tprefix}.tree1", f"{jprefix}/tree1")
             map_tree(f"{tprefix}.tree2", f"{jprefix}/tree2")
 
-    for lvl in (2, 3, 4, 5):
-        map_tree(f"{body}level{lvl}", f"params/body/level{lvl}")
+    if "params/body/stem_conv1/kernel" not in flat:   # DLA trees only
+        for lvl in (2, 3, 4, 5):
+            map_tree(f"{body}level{lvl}", f"params/body/level{lvl}")
 
     for i in (1, 2, 3, 4):
         conv(f"backbone.fpn.fpn_inner{i}", f"params/fpn/inner{i}")
