@@ -102,6 +102,9 @@ class RPNConfig:
     nms_thresh: float
     min_size: int
     amodal: bool
+    # train-only (maskrcnn FPN_POST_NMS_PER_BATCH): the final top-k is
+    # taken jointly over the whole batch instead of per image
+    fpn_post_per_batch: bool = False
     straddle_thresh: float = 0.0
     fg_iou: float = 0.7
     bg_iou: float = 0.3
@@ -119,6 +122,7 @@ class RPNConfig:
             post_nms_top_n=r.POST_NMS_TOP_N_TRAIN if is_train else r.POST_NMS_TOP_N_TEST,
             fpn_post_nms_top_n=(r.FPN_POST_NMS_TOP_N_TRAIN if is_train
                                 else r.FPN_POST_NMS_TOP_N_TEST),
+            fpn_post_per_batch=bool(is_train and r.FPN_POST_NMS_PER_BATCH),
             nms_thresh=r.NMS_THRESH,
             min_size=r.MIN_SIZE,
             amodal=bool(cfg.INPUT.AMODAL),
@@ -241,6 +245,17 @@ def select_proposals(logits, deltas, anchors_per_level, image_size,
     sel_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
     sel_scores = jnp.take_along_axis(scores, idx, axis=1)
     sel_valid = jnp.take_along_axis(keep, idx, axis=1)
+
+    # maskrcnn FPN_POST_NMS_PER_BATCH (train): the fpn_post quota is
+    # shared across the batch — the joint top-n over all images' NMS
+    # survivors.  Capping each image at the same quota first is lossless
+    # (a survivor outside its own image's top-n has >= n better in that
+    # image alone), so this is a mask over the per-image selection.
+    if rcfg.fpn_post_per_batch and n * k > rcfg.fpn_post_nms_top_n:
+        flat = jnp.where(sel_valid, sel_scores, -jnp.inf).reshape(-1)
+        _, gidx = jax.lax.top_k(flat, rcfg.fpn_post_nms_top_n)
+        gmask = jnp.zeros((n * k,), bool).at[gidx].set(True)
+        sel_valid = sel_valid & gmask.reshape(n, k)
     return sel_boxes, sel_scores, sel_valid
 
 
