@@ -115,9 +115,15 @@ class EMMHead(nn.Module):
     use_pallas: bool = True
 
     @nn.compact
-    def __call__(self, sr_features, template_features):
-        xcorr = xcorr_depthwise_auto if self.use_pallas else xcorr_depthwise
-        response = xcorr(sr_features, template_features)
+    def __call__(self, sr_features, template_features, valid=None):
+        if valid is not None and self.use_pallas:
+            from ..ops.xcorr import xcorr_depthwise_masked
+            response = xcorr_depthwise_masked(sr_features, template_features,
+                                              valid)
+        else:
+            xcorr = (xcorr_depthwise_auto if self.use_pallas
+                     else xcorr_depthwise)
+            response = xcorr(sr_features, template_features)
         return EMMPredictor(self.channels, name="predictor")(response)
 
 
@@ -255,7 +261,8 @@ def decode_response(cls_logits, center_logits, reg_logits, locations,
 
 
 def decode_response_fused(cls_logits, center_logits, reg_logits, sr_boxes,
-                          template_boxes, ecfg: EMMConfig, up_scale: int):
+                          template_boxes, ecfg: EMMConfig, up_scale: int,
+                          use_pallas: bool = False, interpret: bool = False):
     """Upsample + decode in one pass, materializing only what the argmax
     needs.
 
@@ -272,7 +279,11 @@ def decode_response_fused(cls_logits, center_logits, reg_logits, sr_boxes,
         the argmax cell only (a [K,16] x [16,16,4] x [16] contraction per
         track) instead of materializing [K, S², 4] + [K, S², 2].
 
-    ~3.4x less HBM traffic than the unfused decode at bench shapes.
+    ~3.4x less HBM traffic than the unfused decode at bench shapes; with
+    ``use_pallas`` (TPU-only; the dispatch rule mirrors
+    ``ops/xcorr.xcorr_depthwise_auto``) the upsample+penalty+argmax runs
+    per-track in VMEM (``ops/pallas/decode.py``) and the [K, S², 4]
+    upsampled maps never touch HBM at all.
     """
     from ..ops.upsample import bicubic_matrix
 
@@ -285,27 +296,43 @@ def decode_response_fused(cls_logits, center_logits, reg_logits, sr_boxes,
     chans = [diff, center_logits[..., 0],
              reg_logits[..., 0] + reg_logits[..., 2],
              reg_logits[..., 1] + reg_logits[..., 3]]
-    x = jnp.stack(chans, axis=-1).astype(jnp.float32)   # [K, s, s, 4]
-    up = jnp.einsum("oh,khwc->kowc", u, x, precision=hi)
-    up = jnp.einsum("pw,khwc->khpc", u, up, precision=hi)
-
-    cls_prob = jax.nn.sigmoid(up[..., 0])
-    conf = cls_prob * jax.nn.sigmoid(up[..., 1]) if ecfg.use_centerness \
-        else cls_prob
-
     box_w = template_boxes[:, 2] - template_boxes[:, 0]
     box_h = template_boxes[:, 3] - template_boxes[:, 1]
-    scale_w = up[..., 2] / jnp.maximum(box_w[:, None, None], 1e-10)
-    scale_h = up[..., 3] / jnp.maximum(box_h[:, None, None], 1e-10)
-    scale_w = jnp.maximum(scale_w, 1.0 / jnp.maximum(scale_w, 1e-10))
-    scale_h = jnp.maximum(scale_h, 1.0 / jnp.maximum(scale_h, 1e-10))
-    penalty = jnp.exp((-scale_w * scale_h + 1.0) * 0.1)
-
     window = jnp.asarray(_hann_window(s_hi)).reshape(s_hi, s_hi)
     sigma = ecfg.cosine_window_weight
-    p_conf = conf * penalty * (1 - sigma) + sigma * window
 
-    idx = jnp.argmax(p_conf.reshape(k, -1), axis=1)
+    # the kernel keeps several [s_hi, s_hi] f32 maps live in VMEM; past
+    # ~512 (SEARCH_REGION > ~3 recipes, e.g. AOT's 5.0 -> s_hi 976) that
+    # presses the 16 MB scoped-VMEM limit — fall back to the XLA path
+    if use_pallas and s_hi <= 512 and (
+            interpret or jax.default_backend() in ("tpu", "axon")):
+        from ..ops.pallas.decode import emm_decode_pallas
+        x4 = jnp.stack(chans, axis=1).astype(jnp.float32)  # [K, 4, s, s]
+        idx, score = emm_decode_pallas(
+            x4, jnp.stack([box_w, box_h], axis=-1), u, window,
+            sigma=float(sigma), use_centerness=bool(ecfg.use_centerness),
+            up_scale=up_scale, interpret=interpret)
+    else:
+        x = jnp.stack(chans, axis=-1).astype(jnp.float32)   # [K, s, s, 4]
+        up = jnp.einsum("oh,khwc->kowc", u, x, precision=hi)
+        up = jnp.einsum("pw,khwc->khpc", u, up, precision=hi)
+
+        cls_prob = jax.nn.sigmoid(up[..., 0])
+        conf = cls_prob * jax.nn.sigmoid(up[..., 1]) if ecfg.use_centerness \
+            else cls_prob
+
+        scale_w = up[..., 2] / jnp.maximum(box_w[:, None, None], 1e-10)
+        scale_h = up[..., 3] / jnp.maximum(box_h[:, None, None], 1e-10)
+        scale_w = jnp.maximum(scale_w, 1.0 / jnp.maximum(scale_w, 1e-10))
+        scale_h = jnp.maximum(scale_h, 1.0 / jnp.maximum(scale_h, 1e-10))
+        penalty = jnp.exp((-scale_w * scale_h + 1.0) * 0.1)
+
+        p_conf = conf * penalty * (1 - sigma) + sigma * window
+
+        idx = jnp.argmax(p_conf.reshape(k, -1), axis=1)
+        score = jnp.take_along_axis(cls_prob.reshape(k, -1), idx[:, None],
+                                    axis=1)[:, 0]
+
     iy, ix = idx // s_hi, idx % s_hi
 
     # regression vector at the argmax only
@@ -327,8 +354,6 @@ def decode_response_fused(cls_logits, center_logits, reg_logits, sr_boxes,
 
     out = jnp.stack([cx - reg[:, 0], cy - reg[:, 1],
                      cx + reg[:, 2], cy + reg[:, 3]], axis=-1)
-    score = jnp.take_along_axis(cls_prob.reshape(k, -1), idx[:, None],
-                                axis=1)[:, 0]
     return out, score
 
 

@@ -135,10 +135,10 @@ class SiamMOTNet(nn.Module):
         cl, bd = self.box(feats, rois, levels, pack, valid)
         return cl.astype(jnp.float32), bd.astype(jnp.float32)
 
-    def emm_predict(self, sr_feats, templates):
+    def emm_predict(self, sr_feats, templates, valid=None):
         dt = jnp.dtype(self.compute_dtype)
         cls_l, ctr_l, reg_l = self.emm(sr_feats.astype(dt),
-                                       templates.astype(dt))
+                                       templates.astype(dt), valid)
         return (cls_l.astype(jnp.float32), ctr_l.astype(jnp.float32),
                 reg_l.astype(jnp.float32))
 
@@ -326,9 +326,10 @@ class SiamMOT:
                                       pack=pack, window=self.window_sr,
                                       valid=occupied)
         cls_l, ctr_l, reg_l = net.apply(params, sr_feats, state.template,
-                                        method=net.emm_predict)
+                                        occupied, method=net.emm_predict)
         tboxes, tconf = decode_response_fused(cls_l, ctr_l, reg_l, state.sr,
-                                              state.boxes, ecfg, UPSCALE)
+                                              state.boxes, ecfg, UPSCALE,
+                                              use_pallas=net.use_pallas)
         tvalid = occupied
         if not ecfg.amodal:
             tboxes = box_ops.clip_to_image(tboxes, image_size)

@@ -1,0 +1,117 @@
+"""Pallas fused EMM response decode: upsample + penalize + argmax in VMEM.
+
+The reference decodes track propagation by bicubically upsampling the
+response maps x16 and arg-maxing a penalized confidence
+(``/root/reference/siammot/modelling/track_head/EMM/track_core.py:69-135``).
+The XLA fused path (``models/emm.py:decode_response_fused``) already
+collapses 7 upsampled channels to 4, but still materializes
+[K, 256, 256, 4] f32 in HBM (~134 MB at K=128) just to take one argmax
+per track.  This kernel computes the 4 upsampled channels per track as
+MXU matmuls (``U @ X @ U^T``), forms the penalized confidence, and
+reduces it to (argmax index, classification score) without the response
+ever leaving VMEM — HBM sees only the [K, 4, 16, 16] input and two
+scalars per track.
+
+Grid: one program per track slot.  The box-regression-at-argmax and
+image-space location math stay in XLA (``decode_response_fused``'s
+epilogue, shared with the fallback path — [K]-sized, cheap).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _decode_kernel(x4_ref, u_ref, ut_ref, win_ref, wh_ref, idx_ref,
+                   score_ref, *, sigma: float, use_centerness: bool,
+                   s_hi: int):
+    hi = jax.lax.Precision.HIGHEST
+
+    def up(c):
+        # U [S_hi, S] @ X_c [S, S] @ U^T [S, S_hi] — full-f32 MXU passes to
+        # match the XLA path's precision=HIGHEST einsums
+        t = jax.lax.dot_general(u_ref[...], x4_ref[0, c],
+                                (((1,), (0,)), ((), ())), precision=hi,
+                                preferred_element_type=jnp.float32)
+        return jax.lax.dot_general(t, ut_ref[...],
+                                   (((1,), (0,)), ((), ())), precision=hi,
+                                   preferred_element_type=jnp.float32)
+
+    cls_prob = jax.nn.sigmoid(up(0))
+    conf = cls_prob * jax.nn.sigmoid(up(1)) if use_centerness else cls_prob
+
+    w = jnp.maximum(wh_ref[0, 0], 1e-10)
+    h = jnp.maximum(wh_ref[0, 1], 1e-10)
+    scale_w = up(2) / w
+    scale_h = up(3) / h
+    scale_w = jnp.maximum(scale_w, 1.0 / jnp.maximum(scale_w, 1e-10))
+    scale_h = jnp.maximum(scale_h, 1.0 / jnp.maximum(scale_h, 1e-10))
+    penalty = jnp.exp((-scale_w * scale_h + 1.0) * 0.1)
+
+    p_conf = conf * penalty * (1.0 - sigma) + sigma * win_ref[...]
+
+    # first-occurrence argmax (row-major), matching jnp.argmax
+    m = jnp.max(p_conf)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (s_hi, s_hi), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (s_hi, s_hi), 1)
+    flat = ii * s_hi + jj
+    idx = jnp.min(jnp.where(p_conf == m, flat, s_hi * s_hi))
+    idx_ref[0, 0] = idx
+    score_ref[0, 0] = jnp.max(jnp.where(flat == idx, cls_prob,
+                                        -jnp.float32(jnp.inf)))
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "use_centerness",
+                                             "up_scale", "interpret"))
+def emm_decode_pallas(x4, wh, u, window, *, sigma: float,
+                      use_centerness: bool, up_scale: int,
+                      interpret: bool = False):
+    """Penalized-confidence argmax over the upsampled response.
+
+    Args:
+      x4: [K, 4, S, S] f32 — (cls logit difference, centerness logit,
+        l+r, t+b) response channels (bicubic upsampling is linear, so
+        these upsample instead of the raw 7; see decode_response_fused).
+      wh: [K, 2] f32 template box extents.
+      u: [S*up_scale, S] f32 bicubic interpolation matrix.
+      window: [S*up_scale, S*up_scale] f32 Hann window.
+
+    Returns (idx [K] int32 flat argmax in the upsampled map,
+             score [K] f32 cls probability at the argmax).
+    """
+    k, _, s_lo, _ = x4.shape
+    s_hi = s_lo * up_scale
+    kernel = functools.partial(_decode_kernel, sigma=float(sigma),
+                               use_centerness=bool(use_centerness),
+                               s_hi=s_hi)
+    idx, score = pl.pallas_call(
+        kernel,
+        grid=(k,),
+        in_specs=[
+            pl.BlockSpec((1, 4, s_lo, s_lo), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_hi, s_lo), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_lo, s_hi), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_hi, s_hi), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k, 1), jnp.int32),
+            jax.ShapeDtypeStruct((k, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x4.astype(jnp.float32), u, jnp.transpose(u), window,
+      jnp.asarray(wh, jnp.float32))
+    return idx[:, 0], score[:, 0]

@@ -34,26 +34,68 @@ def _xcorr_kernel(search_ref, template_ref, out_ref, *, ht: int, wt: int,
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
+def _xcorr_kernel_masked(valid_ref, search_ref, template_ref, out_ref, *,
+                         ht: int, wt: int, ho: int, wo: int):
+    """Dead (invalid) track slots skip the Ht*Wt MAC and write zeros —
+    identical output, since their pooled inputs are already zeroed."""
+    i = pl.program_id(0)
+
+    @pl.when(valid_ref[i] != 0)
+    def _():
+        _xcorr_kernel(search_ref, template_ref, out_ref, ht=ht, wt=wt,
+                      ho=ho, wo=wo)
+
+    @pl.when(valid_ref[i] == 0)
+    def _():
+        c = search_ref.shape[-1]
+        out_ref[0] = jnp.zeros((ho, wo, c), out_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def xcorr_depthwise_pallas(search: jnp.ndarray, template: jnp.ndarray,
+                           valid: jnp.ndarray | None = None,
                            interpret: bool = False) -> jnp.ndarray:
-    """[B, Hs, Ws, C] x [B, Ht, Wt, C] -> [B, Hs-Ht+1, Ws-Wt+1, C]."""
+    """[B, Hs, Ws, C] x [B, Ht, Wt, C] -> [B, Hs-Ht+1, Ws-Wt+1, C].
+
+    ``valid`` ([B] bool, optional) marks live slots; dead slots skip their
+    shift-and-MAC entirely (inference fast path over fixed-capacity track
+    slots, where occupancy is usually far below capacity).
+    """
     b, hs, ws, c = search.shape
     _, ht, wt, _ = template.shape
     ho, wo = hs - ht + 1, ws - wt + 1
 
-    kernel = functools.partial(_xcorr_kernel, ht=ht, wt=wt, ho=ho, wo=wo)
+    in_specs = [
+        pl.BlockSpec((1, hs, ws, c), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ht, wt, c), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = pl.BlockSpec((1, ho, wo, c), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, ho, wo, c), jnp.float32)
+
+    if valid is None:
+        kernel = functools.partial(_xcorr_kernel, ht=ht, wt=wt, ho=ho, wo=wo)
+        return pl.pallas_call(kernel, grid=(b,), in_specs=in_specs,
+                              out_specs=out_specs, out_shape=out_shape,
+                              interpret=interpret)(search, template)
+
+    kernel = functools.partial(_xcorr_kernel_masked, ht=ht, wt=wt, ho=ho,
+                               wo=wo)
+    # index maps under scalar prefetch also receive the scalar ref
     return pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, hs, ws, c), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ht, wt, c), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, ho, wo, c), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, ho, wo, c), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, hs, ws, c), lambda i, v: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ht, wt, c), lambda i, v: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, ho, wo, c), lambda i, v: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)),
+        out_shape=out_shape,
         interpret=interpret,
-    )(search, template)
+    )(valid.astype(jnp.int32), search, template)

@@ -57,6 +57,19 @@ def _xcorr_bwd(res, g):
 xcorr_depthwise_auto.defvjp(_xcorr_fwd, _xcorr_bwd)
 
 
+def xcorr_depthwise_masked(search: jnp.ndarray, template: jnp.ndarray,
+                           valid: jnp.ndarray) -> jnp.ndarray:
+    """Inference-only variant: dead track slots (``valid`` False) skip
+    their shift-and-MAC in the Pallas kernel.  Output is identical to the
+    unmasked op because dead slots' pooled inputs are already zeroed (the
+    window poolers zero invalid lanes); no VJP — the training path uses
+    ``xcorr_depthwise_auto``."""
+    if jax.default_backend() in ("tpu", "axon"):
+        from .pallas.xcorr import xcorr_depthwise_pallas
+        return xcorr_depthwise_pallas(search, template, valid)
+    return xcorr_depthwise(search, template)
+
+
 def xcorr_depthwise(search: jnp.ndarray, template: jnp.ndarray) -> jnp.ndarray:
     """Depthwise (per-sample, per-channel) cross-correlation.
 

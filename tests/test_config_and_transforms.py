@@ -68,3 +68,26 @@ def test_model_name():
     cfg = get_cfg()
     cfg.DATASETS.TRAIN = ("MOT17",)
     assert get_model_name(cfg, "v1") == "DLA34_box_EMM_MOT17_v1"
+
+
+def test_all_shipped_configs_merge():
+    """Every yaml under configs/ and demos/configs merges into the
+    defaults, freezes, and names a buildable backbone."""
+    import os
+
+    from siammot_tpu.models.dla import DLA_VARIANTS
+    from siammot_tpu.models.resnet import RESNET_VARIANTS
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    found = []
+    for sub in ("configs", os.path.join("demos", "configs")):
+        for dirpath, _, files in os.walk(os.path.join(root, sub)):
+            found += [os.path.join(dirpath, f) for f in files
+                      if f.endswith(".yaml")]
+    assert len(found) >= 6
+    for path in found:
+        cfg = get_cfg()
+        cfg.merge_from_file(path)
+        cfg.freeze()
+        body = cfg.MODEL.BACKBONE.CONV_BODY
+        assert body in DLA_VARIANTS or body in RESNET_VARIANTS, path

@@ -25,3 +25,24 @@ def test_xcorr_pallas_odd_sizes(rng):
     out = xcorr_depthwise_pallas(search, template, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
                                atol=1e-4)
+
+
+def test_xcorr_pallas_masked_skips_dead_slots(rng):
+    """Masked kernel == unmasked on live slots, zeros on dead ones —
+    bitwise, since dead slots' inputs are zeroed like the poolers do."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    b, hs, ws, ht, wt, c = 6, 12, 12, 5, 5, 128
+    search = rng.randn(b, hs, ws, c).astype(np.float32)
+    template = rng.randn(b, ht, wt, c).astype(np.float32)
+    valid = np.array([True, False, True, False, False, True])
+    search[~valid] = 0.0
+    template[~valid] = 0.0
+
+    ref = xcorr_depthwise_pallas(jnp.asarray(search), jnp.asarray(template),
+                                 interpret=True)
+    out = xcorr_depthwise_pallas(jnp.asarray(search), jnp.asarray(template),
+                                 jnp.asarray(valid), interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert not np.any(np.asarray(out)[~valid])

@@ -172,3 +172,18 @@ def test_freeze_conv_body_at_zeroes_stem_and_layer1():
             assert np.any(upd), key
             n_live += 1
     assert n_frozen >= 30 and n_live >= 100
+
+
+def test_resnet_dcn_stage_builds(rng):
+    """STAGE_WITH_DCN wires DeformConv into the 3x3 slot and still runs."""
+    m = ResNet(stage_blocks=(1, 1), stage_with_dcn=(False, True, False,
+                                                    False))
+    x = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    flat = jax.tree_util.tree_leaves_with_path(variables)
+    names = {jax.tree_util.keystr(p) for p, _ in flat}
+    assert any("layer2_0" in n and "offset" in n for n in names), \
+        "DCN offset conv missing from the dcn stage"
+    outs = m.apply(variables, x)
+    assert outs[1].shape == (1, 4, 4, 512)
+    assert np.all(np.isfinite(np.asarray(outs[1])))
