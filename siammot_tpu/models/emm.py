@@ -74,31 +74,102 @@ class EMMConfig:
         )
 
 
+class _Conv3x3(nn.Module):
+    """3x3 SAME conv with explicit params (same tree keys/shapes/init as
+    ``nn.Conv`` so checkpoints are unchanged; explicit so the Pallas
+    predictor kernel can read the weights without a module call)."""
+
+    in_features: int
+    features: int
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.normal(0.01),
+                                 (3, 3, self.in_features, self.features))
+        self.bias = self.param("bias", nn.initializers.zeros_init(),
+                               (self.features,))
+
+    def __call__(self, x):
+        dt = jnp.promote_types(x.dtype, self.kernel.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), self.kernel.astype(dt), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + self.bias.astype(dt)
+
+
+class _GroupNorm(nn.Module):
+    """``nn.GroupNorm`` semantics (f32 stats, fast variance) with explicit
+    scale/bias params (same tree keys)."""
+
+    features: int
+    groups: int = 32
+    eps: float = 1e-5
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones_init(),
+                                (self.features,))
+        self.bias = self.param("bias", nn.initializers.zeros_init(),
+                               (self.features,))
+
+    def __call__(self, x):
+        c = x.shape[-1]
+        xf = x.astype(jnp.float32).reshape(*x.shape[:-1], self.groups,
+                                           c // self.groups)
+        red = tuple(range(1, xf.ndim - 2)) + (xf.ndim - 1,)
+        mean = jnp.mean(xf, axis=red, keepdims=True)
+        var = jnp.mean(xf * xf, axis=red, keepdims=True) - mean * mean
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y.reshape(x.shape)
+        dt = jnp.promote_types(x.dtype, self.scale.dtype)
+        return (y.astype(dt) * self.scale.astype(dt)
+                + self.bias.astype(dt))
+
+
 class EMMPredictor(nn.Module):
     """cls/reg conv towers over the correlation response
     (reference ``feature_extractor.py:43-68``): 3x3 conv + GN(32) + ReLU
     towers, then 3x3 heads for 2-ch cls, 1-ch centerness, 4-ch regression
-    (ReLU-clamped)."""
+    (ReLU-clamped).
+
+    With ``valid`` given on a TPU backend, the whole stack runs as ONE
+    Pallas program per live track slot (``ops/pallas/decode.py`` sibling
+    ``ops/pallas/predictor.py``); dead slots skip compute and emit zeros
+    (downstream masks on ``TrackState.occupied``).
+    """
 
     channels: int
+    use_pallas: bool = True
 
-    @nn.compact
-    def __call__(self, x):
-        def conv3(f, name):
-            return nn.Conv(f, (3, 3), padding=1,
-                           kernel_init=nn.initializers.normal(0.01),
-                           name=name)
+    def setup(self):
+        c = self.channels
+        self.cls_tower_conv = _Conv3x3(c, c)
+        self.cls_tower_gn = _GroupNorm(c)
+        self.reg_tower_conv = _Conv3x3(c, c)
+        self.reg_tower_gn = _GroupNorm(c)
+        self.cls = _Conv3x3(c, 2)
+        self.center = _Conv3x3(c, 1)
+        self.reg = _Conv3x3(c, 4)
 
-        cls_x = conv3(self.channels, "cls_tower_conv")(x)
-        cls_x = nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-5,
-                                     name="cls_tower_gn")(cls_x))
-        reg_x = conv3(self.channels, "reg_tower_conv")(x)
-        reg_x = nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-5,
-                                     name="reg_tower_gn")(reg_x))
-        cls_logits = conv3(2, "cls")(cls_x)
-        center_logits = conv3(1, "center")(cls_x)
-        reg_logits = nn.relu(conv3(4, "reg")(reg_x))
-        return cls_logits, center_logits, reg_logits
+    def params_tree(self):
+        return {
+            name: {"kernel": m.kernel, "bias": m.bias}
+            for name, m in (("cls_tower_conv", self.cls_tower_conv),
+                            ("reg_tower_conv", self.reg_tower_conv),
+                            ("cls", self.cls), ("center", self.center),
+                            ("reg", self.reg))
+        } | {
+            name: {"scale": m.scale, "bias": m.bias}
+            for name, m in (("cls_tower_gn", self.cls_tower_gn),
+                            ("reg_tower_gn", self.reg_tower_gn))
+        }
+
+    def __call__(self, x, valid=None):
+        if (valid is not None and self.use_pallas
+                and jax.default_backend() in ("tpu", "axon")):
+            from ..ops.pallas.predictor import emm_predictor_pallas
+            return emm_predictor_pallas(x, valid, self.params_tree())
+        cls_x = nn.relu(self.cls_tower_gn(self.cls_tower_conv(x)))
+        reg_x = nn.relu(self.reg_tower_gn(self.reg_tower_conv(x)))
+        return self.cls(cls_x), self.center(cls_x), nn.relu(self.reg(reg_x))
 
 
 from ..utils.registry import SIAMESE_TRACKER
@@ -124,7 +195,12 @@ class EMMHead(nn.Module):
             xcorr = (xcorr_depthwise_auto if self.use_pallas
                      else xcorr_depthwise)
             response = xcorr(sr_features, template_features)
-        return EMMPredictor(self.channels, name="predictor")(response)
+        # the Pallas xcorr accumulates/returns f32; drop back to the head
+        # compute dtype so the predictor convs hit the bf16 MXU path
+        # (f32 x bf16 weights would silently promote the towers to f32)
+        response = response.astype(sr_features.dtype)
+        return EMMPredictor(self.channels, use_pallas=self.use_pallas,
+                            name="predictor")(response, valid)
 
 
 # ---------------------------------------------------------------------------

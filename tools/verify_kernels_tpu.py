@@ -33,6 +33,28 @@ def main():
     assert not np.any(out[~valid])
     print(f"masked xcorr on-chip parity OK ({int(valid.sum())}/{b} live)")
 
+    # ---- masked predictor kernel vs the XLA module path (bf16)
+    import jax
+    from siammot_tpu.models.emm import EMMPredictor
+    from siammot_tpu.ops.pallas.predictor import emm_predictor_pallas
+
+    k, ss = b, hs - ht + 1
+    x = jnp.asarray(rng.randn(k, ss, ss, c).astype(np.float32))
+    model = EMMPredictor(channels=c, use_pallas=False)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = jax.tree.map(
+        lambda a: (a + jnp.asarray(rng.randn(*a.shape).astype(a.dtype)
+                                   * 0.05)).astype(jnp.bfloat16), variables)
+    xb = x.astype(jnp.bfloat16)
+    want = jax.jit(lambda v, t: model.apply(v, t))(variables, xb)
+    got = emm_predictor_pallas(xb, v, variables["params"])
+    vm = np.asarray(v)
+    for g, w in zip(got, want):
+        g, w = np.asarray(g), np.asarray(w, np.float32)
+        np.testing.assert_allclose(g[vm], w[vm], rtol=0.08, atol=0.08)
+        assert not np.any(g[~vm])
+    print("masked predictor on-chip parity OK")
+
 
 if __name__ == "__main__":
     main()
