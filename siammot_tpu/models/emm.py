@@ -163,7 +163,13 @@ class EMMPredictor(nn.Module):
         }
 
     def __call__(self, x, valid=None):
+        # VMEM gate: one program keeps ~6 response-sized f32 buffers live
+        # (padded input, two tower activations, accumulators); past ~10 MB
+        # (AOT's SEARCH_REGION=5 -> 61x61 responses at C=128 is 11 MB)
+        # fall back to XLA rather than press the 16 MB scoped-VMEM limit.
+        s, c = x.shape[1], x.shape[-1]
         if (valid is not None and self.use_pallas
+                and s * s * c * 4 * 6 <= 10 * 2**20
                 and jax.default_backend() in ("tpu", "axon")):
             from ..ops.pallas.predictor import emm_predictor_pallas
             return emm_predictor_pallas(x, valid, self.params_tree())
