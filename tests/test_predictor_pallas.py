@@ -93,3 +93,36 @@ def test_pallas_predictor_all_dead(rng):
                                interpret=True)
     for g in got:
         assert not np.any(np.asarray(g))
+
+
+def test_masked_kernels_under_vmap(rng):
+    """Multistream inference vmaps the frame step over streams; the
+    masked kernels' pallas batching rules must produce per-stream
+    results identical to a python loop."""
+    from siammot_tpu.ops.pallas.xcorr import xcorr_depthwise_pallas
+
+    n, k, c = 3, 4, 128
+    x = jnp.asarray(rng.randn(n, k, 8, 8, c).astype(np.float32))
+    model = EMMPredictor(channels=c)
+    variables = model.init(jax.random.PRNGKey(0), x[0])
+    valid = jnp.asarray(rng.rand(n, k) < 0.5)
+
+    vm = jax.vmap(lambda xi, vi: emm_predictor_pallas(
+        xi, vi, variables["params"], interpret=True), in_axes=(0, 0))
+    got = vm(x, valid)
+    for i in range(n):
+        want = emm_predictor_pallas(x[i], valid[i], variables["params"],
+                                    interpret=True)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g[i]), np.asarray(w),
+                                       rtol=1e-5, atol=1e-5)
+
+    s = jnp.asarray(rng.randn(n, k, 12, 12, c).astype(np.float32))
+    t = jnp.asarray(rng.randn(n, k, 5, 5, c).astype(np.float32))
+    vx = jax.vmap(lambda si, ti, vi: xcorr_depthwise_pallas(
+        si, ti, vi, interpret=True), in_axes=(0, 0, 0))
+    got = vx(s, t, valid)
+    for i in range(n):
+        want = xcorr_depthwise_pallas(s[i], t[i], valid[i], interpret=True)
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
