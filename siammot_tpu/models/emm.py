@@ -383,10 +383,11 @@ def decode_response_fused(cls_logits, center_logits, reg_logits, sr_boxes,
     window = jnp.asarray(_hann_window(s_hi)).reshape(s_hi, s_hi)
     sigma = ecfg.cosine_window_weight
 
-    # the kernel keeps several [s_hi, s_hi] f32 maps live in VMEM; past
-    # ~512 (SEARCH_REGION > ~3 recipes, e.g. AOT's 5.0 -> s_hi 976) that
-    # presses the 16 MB scoped-VMEM limit — fall back to the XLA path
-    if use_pallas and s_hi <= 512 and (
+    # whole-map kernel to s_hi 512; row-striped kernel (bitwise-equal
+    # cells, running argmax) beyond — its VMEM peak is the full Hann
+    # window, so past ~1024 (no shipped recipe; AOT's SEARCH_REGION=5 is
+    # s_hi 976) fall back to the XLA path
+    if use_pallas and s_hi <= 1024 and (
             interpret or jax.default_backend() in ("tpu", "axon")):
         from ..ops.pallas.decode import emm_decode_pallas
         x4 = jnp.stack(chans, axis=1).astype(jnp.float32)  # [K, 4, s, s]

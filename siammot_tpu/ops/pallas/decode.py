@@ -66,10 +66,75 @@ def _decode_kernel(x4_ref, u_ref, ut_ref, win_ref, wh_ref, idx_ref,
                                         -jnp.float32(jnp.inf)))
 
 
+def _decode_kernel_striped(x4_ref, u_ref, ut_ref, win_ref, wh_ref, idx_ref,
+                           score_ref, *, sigma: float, use_centerness: bool,
+                           s_hi: int, stripe: int):
+    """Row-striped variant for large upsampled maps (AOT's SEARCH_REGION=5
+    gives 976x976 — several full maps would blow scoped VMEM).  Keeps the
+    un-striped kernel's contraction order ((U @ X) row-block @ U^T), so
+    every cell is bitwise-identical to it; the penalized argmax becomes a
+    running (max, first-index, cls-at-max) over stripes (strict ``>``
+    keeps the earliest stripe on ties — jnp.argmax's first-occurrence
+    order)."""
+    hi = jax.lax.Precision.HIGHEST
+
+    def dot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   precision=hi,
+                                   preferred_element_type=jnp.float32)
+
+    t = [dot(u_ref[...], x4_ref[0, c]) for c in range(4)]   # [S_hi, S]
+    w = jnp.maximum(wh_ref[0, 0], 1e-10)
+    h = jnp.maximum(wh_ref[0, 1], 1e-10)
+    big = jnp.int32(s_hi * s_hi)
+
+    def body(k, carry):
+        best_m, best_idx, best_cls = carry
+        r0 = pl.multiple_of(k * stripe, 8)
+        up = [dot(jax.lax.dynamic_slice_in_dim(t[c], r0, stripe),
+                  ut_ref[...]) for c in range(4)]           # [stripe, S_hi]
+        cls_prob = jax.nn.sigmoid(up[0])
+        conf = cls_prob * jax.nn.sigmoid(up[1]) if use_centerness \
+            else cls_prob
+        scale_w = up[2] / w
+        scale_h = up[3] / h
+        scale_w = jnp.maximum(scale_w, 1.0 / jnp.maximum(scale_w, 1e-10))
+        scale_h = jnp.maximum(scale_h, 1.0 / jnp.maximum(scale_h, 1e-10))
+        penalty = jnp.exp((-scale_w * scale_h + 1.0) * 0.1)
+        win = win_ref[pl.ds(r0, stripe), :]
+        p_conf = conf * penalty * (1.0 - sigma) + sigma * win
+
+        m = jnp.max(p_conf)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (stripe, s_hi), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (stripe, s_hi), 1)
+        flat = (ii + r0) * s_hi + jj
+        idx = jnp.min(jnp.where(p_conf == m, flat, big))
+        cls_at = jnp.max(jnp.where(flat == idx, cls_prob,
+                                   -jnp.float32(jnp.inf)))
+        better = m > best_m
+        return (jnp.where(better, m, best_m),
+                jnp.where(better, idx, best_idx),
+                jnp.where(better, cls_at, best_cls))
+
+    init = (-jnp.float32(jnp.inf), big, -jnp.float32(jnp.inf))
+    _, idx, cls_at = jax.lax.fori_loop(0, s_hi // stripe, body, init)
+    idx_ref[0, 0] = idx
+    score_ref[0, 0] = cls_at
+
+
+def _pick_stripe(s_hi: int) -> int:
+    for d in (128, 64, 32, 16, 8):
+        if s_hi % d == 0:
+            return d
+    raise ValueError(f"s_hi={s_hi} has no multiple-of-8 stripe divisor")
+
+
 @functools.partial(jax.jit, static_argnames=("sigma", "use_centerness",
-                                             "up_scale", "interpret"))
+                                             "up_scale", "stripe",
+                                             "interpret"))
 def emm_decode_pallas(x4, wh, u, window, *, sigma: float,
                       use_centerness: bool, up_scale: int,
+                      stripe: int | None = None,
                       interpret: bool = False):
     """Penalized-confidence argmax over the upsampled response.
 
@@ -86,9 +151,19 @@ def emm_decode_pallas(x4, wh, u, window, *, sigma: float,
     """
     k, _, s_lo, _ = x4.shape
     s_hi = s_lo * up_scale
-    kernel = functools.partial(_decode_kernel, sigma=float(sigma),
-                               use_centerness=bool(use_centerness),
-                               s_hi=s_hi)
+    # whole-map kernel up to 512 (several [s_hi, s_hi] f32 maps live in
+    # VMEM); row-striped beyond (bitwise-equal cells, running argmax).
+    # ``stripe`` forces the striped path (tests).
+    if stripe is None and s_hi > 512:
+        stripe = _pick_stripe(s_hi)
+    if stripe is not None:
+        kernel = functools.partial(_decode_kernel_striped, sigma=float(sigma),
+                                   use_centerness=bool(use_centerness),
+                                   s_hi=s_hi, stripe=int(stripe))
+    else:
+        kernel = functools.partial(_decode_kernel, sigma=float(sigma),
+                                   use_centerness=bool(use_centerness),
+                                   s_hi=s_hi)
     idx, score = pl.pallas_call(
         kernel,
         grid=(k,),

@@ -63,3 +63,56 @@ def test_pallas_decode_dead_slots(rng):
                                           interpret=True)
     assert np.all(np.isfinite(np.asarray(boxes)))
     assert np.all(np.isfinite(np.asarray(scores)))
+
+
+def test_striped_decode_matches_unstriped(rng):
+    """Forced striping == whole-map kernel (same contraction order —
+    bitwise cells, running argmax)."""
+    from siammot_tpu.ops.pallas.decode import emm_decode_pallas
+
+    cfg = get_cfg()
+    ecfg = EMMConfig.from_cfg(cfg)
+    k, s, up = 4, ecfg.response_size, 16
+    cls_l, ctr_l, reg_l, sr, tmpl = _inputs(rng, ecfg, k)
+    diff = cls_l[..., 1] - cls_l[..., 0]
+    x4 = jnp.stack([diff, ctr_l[..., 0],
+                    reg_l[..., 0] + reg_l[..., 2],
+                    reg_l[..., 1] + reg_l[..., 3]], axis=1)
+    wh = jnp.stack([tmpl[:, 2] - tmpl[:, 0], tmpl[:, 3] - tmpl[:, 1]],
+                   axis=-1)
+    from siammot_tpu.ops.upsample import bicubic_matrix
+    from siammot_tpu.models.emm import _hann_window
+    u = jnp.asarray(bicubic_matrix(s, up), jnp.float32)
+    win = jnp.asarray(_hann_window(s * up)).reshape(s * up, s * up)
+
+    ref = emm_decode_pallas(x4, wh, u, win, sigma=0.4, use_centerness=True,
+                            up_scale=up, interpret=True)
+    for stripe in (8, 32):
+        got = emm_decode_pallas(x4, wh, u, win, sigma=0.4,
+                                use_centerness=True, up_scale=up,
+                                stripe=stripe, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got[0]),
+                                      np.asarray(ref[0]))
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_fused_decode_pallas_aot_shape(rng):
+    """SEARCH_REGION=5 (AOT): s_hi=976 routes to the striped kernel and
+    matches the XLA fused decode."""
+    cfg = get_cfg()
+    cfg.MODEL.TRACK_HEAD.SEARCH_REGION = 5.0
+    ecfg = EMMConfig.from_cfg(cfg)
+    assert ecfg.response_size * 16 == 976
+    k, up = 2, 16
+    cls_l, ctr_l, reg_l, sr, tmpl = _inputs(rng, ecfg, k)
+
+    ref_boxes, ref_scores = decode_response_fused(cls_l, ctr_l, reg_l, sr,
+                                                  tmpl, ecfg, up)
+    out_boxes, out_scores = decode_response_fused(
+        cls_l, ctr_l, reg_l, sr, tmpl, ecfg, up,
+        use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_boxes), np.asarray(ref_boxes),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_scores),
+                               np.asarray(ref_scores), rtol=1e-5, atol=1e-6)
