@@ -344,7 +344,8 @@ def decode_response(cls_logits, center_logits, reg_logits, locations,
 
 def decode_response_fused(cls_logits, center_logits, reg_logits, sr_boxes,
                           template_boxes, ecfg: EMMConfig, up_scale: int,
-                          use_pallas: bool = False, interpret: bool = False):
+                          use_pallas: bool = False, interpret: bool = False,
+                          valid=None):
     """Upsample + decode in one pass, materializing only what the argmax
     needs.
 
@@ -392,7 +393,7 @@ def decode_response_fused(cls_logits, center_logits, reg_logits, sr_boxes,
         from ..ops.pallas.decode import emm_decode_pallas
         x4 = jnp.stack(chans, axis=1).astype(jnp.float32)  # [K, 4, s, s]
         idx, score = emm_decode_pallas(
-            x4, jnp.stack([box_w, box_h], axis=-1), u, window,
+            x4, jnp.stack([box_w, box_h], axis=-1), u, window, valid,
             sigma=float(sigma), use_centerness=bool(ecfg.use_centerness),
             up_scale=up_scale, interpret=interpret)
     else:

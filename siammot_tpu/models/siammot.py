@@ -329,7 +329,8 @@ class SiamMOT:
                                         occupied, method=net.emm_predict)
         tboxes, tconf = decode_response_fused(cls_l, ctr_l, reg_l, state.sr,
                                               state.boxes, ecfg, UPSCALE,
-                                              use_pallas=net.use_pallas)
+                                              use_pallas=net.use_pallas,
+                                              valid=occupied)
         tvalid = occupied
         if not ecfg.amodal:
             tboxes = box_ops.clip_to_image(tboxes, image_size)

@@ -129,10 +129,28 @@ def _pick_stripe(s_hi: int) -> int:
     raise ValueError(f"s_hi={s_hi} has no multiple-of-8 stripe divisor")
 
 
+def _gated_kernel(body):
+    """Scalar-prefetch dead-slot gate: invalid slots write (0, 0)."""
+    def kernel(valid_ref, x4_ref, u_ref, ut_ref, win_ref, wh_ref, idx_ref,
+               score_ref):
+        i = pl.program_id(0)
+
+        @pl.when(valid_ref[i] != 0)
+        def _():
+            body(x4_ref, u_ref, ut_ref, win_ref, wh_ref, idx_ref, score_ref)
+
+        @pl.when(valid_ref[i] == 0)
+        def _():
+            idx_ref[0, 0] = jnp.int32(0)
+            score_ref[0, 0] = jnp.float32(0.0)
+
+    return kernel
+
+
 @functools.partial(jax.jit, static_argnames=("sigma", "use_centerness",
                                              "up_scale", "stripe",
                                              "interpret"))
-def emm_decode_pallas(x4, wh, u, window, *, sigma: float,
+def emm_decode_pallas(x4, wh, u, window, valid=None, *, sigma: float,
                       use_centerness: bool, up_scale: int,
                       stripe: int | None = None,
                       interpret: bool = False):
@@ -145,6 +163,8 @@ def emm_decode_pallas(x4, wh, u, window, *, sigma: float,
       wh: [K, 2] f32 template box extents.
       u: [S*up_scale, S] f32 bicubic interpolation matrix.
       window: [S*up_scale, S*up_scale] f32 Hann window.
+      valid: optional [K] bool — dead track slots skip the decode and
+        emit (idx 0, score 0); consumers mask on occupancy (PARITY.md).
 
     Returns (idx [K] int32 flat argmax in the upsampled map,
              score [K] f32 cls probability at the argmax).
@@ -157,36 +177,47 @@ def emm_decode_pallas(x4, wh, u, window, *, sigma: float,
     if stripe is None and s_hi > 512:
         stripe = _pick_stripe(s_hi)
     if stripe is not None:
-        kernel = functools.partial(_decode_kernel_striped, sigma=float(sigma),
-                                   use_centerness=bool(use_centerness),
-                                   s_hi=s_hi, stripe=int(stripe))
+        body = functools.partial(_decode_kernel_striped, sigma=float(sigma),
+                                 use_centerness=bool(use_centerness),
+                                 s_hi=s_hi, stripe=int(stripe))
     else:
-        kernel = functools.partial(_decode_kernel, sigma=float(sigma),
-                                   use_centerness=bool(use_centerness),
-                                   s_hi=s_hi)
-    idx, score = pl.pallas_call(
-        kernel,
-        grid=(k,),
-        in_specs=[
-            pl.BlockSpec((1, 4, s_lo, s_lo), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s_hi, s_lo), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s_lo, s_hi), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s_hi, s_hi), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((k, 1), jnp.int32),
-            jax.ShapeDtypeStruct((k, 1), jnp.float32),
-        ],
-        interpret=interpret,
-    )(x4.astype(jnp.float32), u, jnp.transpose(u), window,
-      jnp.asarray(wh, jnp.float32))
+        body = functools.partial(_decode_kernel, sigma=float(sigma),
+                                 use_centerness=bool(use_centerness),
+                                 s_hi=s_hi)
+
+    args = (x4.astype(jnp.float32), u, jnp.transpose(u), window,
+            jnp.asarray(wh, jnp.float32))
+    block_shapes = [(1, 4, s_lo, s_lo), (s_hi, s_lo), (s_lo, s_hi),
+                    (s_hi, s_hi), (1, 2)]
+    slot_major = [True, False, False, False, True]
+    out_shape = [jax.ShapeDtypeStruct((k, 1), jnp.int32),
+                 jax.ShapeDtypeStruct((k, 1), jnp.float32)]
+
+    def spec(shape, per_slot, extra_scalar):
+        nd = len(shape)
+        if per_slot:
+            idx_map = (lambda i, v: (i,) + (0,) * (nd - 1)) \
+                if extra_scalar else (lambda i: (i,) + (0,) * (nd - 1))
+        else:
+            idx_map = (lambda i, v: (0,) * nd) if extra_scalar \
+                else (lambda i: (0,) * nd)
+        return pl.BlockSpec(shape, idx_map, memory_space=pltpu.VMEM)
+
+    if valid is None:
+        idx, score = pl.pallas_call(
+            body, grid=(k,),
+            in_specs=[spec(s, m, False)
+                      for s, m in zip(block_shapes, slot_major)],
+            out_specs=[spec((1, 1), True, False)] * 2,
+            out_shape=out_shape, interpret=interpret)(*args)
+    else:
+        idx, score = pl.pallas_call(
+            _gated_kernel(body),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(k,),
+                in_specs=[spec(s, m, True)
+                          for s, m in zip(block_shapes, slot_major)],
+                out_specs=[spec((1, 1), True, True)] * 2),
+            out_shape=out_shape, interpret=interpret,
+        )(valid.astype(jnp.int32), *args)
     return idx[:, 0], score[:, 0]

@@ -116,3 +116,36 @@ def test_fused_decode_pallas_aot_shape(rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(out_scores),
                                np.asarray(ref_scores), rtol=1e-5, atol=1e-6)
+
+
+def test_decode_pallas_masked_slots(rng):
+    """Dead slots skip decode and emit (idx 0, score 0); live slots are
+    bitwise-equal to the unmasked kernel."""
+    from siammot_tpu.models.emm import _hann_window
+    from siammot_tpu.ops.pallas.decode import emm_decode_pallas
+    from siammot_tpu.ops.upsample import bicubic_matrix
+
+    cfg = get_cfg()
+    ecfg = EMMConfig.from_cfg(cfg)
+    k, s, up = 6, ecfg.response_size, 16
+    cls_l, ctr_l, reg_l, sr, tmpl = _inputs(rng, ecfg, k)
+    x4 = jnp.stack([cls_l[..., 1] - cls_l[..., 0], ctr_l[..., 0],
+                    reg_l[..., 0] + reg_l[..., 2],
+                    reg_l[..., 1] + reg_l[..., 3]], axis=1)
+    wh = jnp.stack([tmpl[:, 2] - tmpl[:, 0], tmpl[:, 3] - tmpl[:, 1]], -1)
+    u = jnp.asarray(bicubic_matrix(s, up), jnp.float32)
+    win = jnp.asarray(_hann_window(s * up)).reshape(s * up, s * up)
+    valid = jnp.asarray([True, False, True, True, False, True])
+
+    ref = emm_decode_pallas(x4, wh, u, win, sigma=0.4, use_centerness=True,
+                            up_scale=up, interpret=True)
+    got = emm_decode_pallas(x4, wh, u, win, valid, sigma=0.4,
+                            use_centerness=True, up_scale=up,
+                            interpret=True)
+    v = np.asarray(valid)
+    np.testing.assert_array_equal(np.asarray(got[0])[v],
+                                  np.asarray(ref[0])[v])
+    np.testing.assert_array_equal(np.asarray(got[1])[v],
+                                  np.asarray(ref[1])[v])
+    assert not np.any(np.asarray(got[0])[~v])
+    assert not np.any(np.asarray(got[1])[~v])
