@@ -55,6 +55,30 @@ def main():
         assert not np.any(g[~vm])
     print("masked predictor on-chip parity OK")
 
+    # ---- masked + striped decode vs the whole-map kernel
+    from siammot_tpu.models.emm import _hann_window
+    from siammot_tpu.ops.pallas.decode import emm_decode_pallas
+    from siammot_tpu.ops.upsample import bicubic_matrix
+
+    s_lo, up = 16, 16
+    x4 = jnp.asarray(rng.randn(k, 4, s_lo, s_lo).astype(np.float32))
+    wh = jnp.asarray(np.abs(rng.randn(k, 2)).astype(np.float32) * 60 + 20)
+    u = jnp.asarray(bicubic_matrix(s_lo, up), jnp.float32)
+    win = jnp.asarray(_hann_window(s_lo * up)).reshape(s_lo * up, s_lo * up)
+    dref = emm_decode_pallas(x4, wh, u, win, sigma=0.4, use_centerness=True,
+                             up_scale=up)
+    dmask = emm_decode_pallas(x4, wh, u, win, v, sigma=0.4,
+                              use_centerness=True, up_scale=up)
+    dstr = emm_decode_pallas(x4, wh, u, win, sigma=0.4, use_centerness=True,
+                             up_scale=up, stripe=64)
+    np.testing.assert_array_equal(np.asarray(dmask[0])[vm],
+                                  np.asarray(dref[0])[vm])
+    assert not np.any(np.asarray(dmask[1])[~vm])
+    np.testing.assert_array_equal(np.asarray(dstr[0]), np.asarray(dref[0]))
+    np.testing.assert_allclose(np.asarray(dstr[1]), np.asarray(dref[1]),
+                               rtol=1e-6, atol=1e-7)
+    print("masked + striped decode on-chip parity OK")
+
 
 if __name__ == "__main__":
     main()
