@@ -6,6 +6,7 @@ via identical output boxes/scores is the complete parity statement.
 """
 
 import jax.numpy as jnp
+import jax
 import numpy as np
 import pytest
 
@@ -149,3 +150,30 @@ def test_decode_pallas_masked_slots(rng):
                                   np.asarray(ref[1])[v])
     assert not np.any(np.asarray(got[0])[~v])
     assert not np.any(np.asarray(got[1])[~v])
+
+
+def test_masked_decode_under_vmap(rng):
+    """Multistream vmaps the frame step; the masked decode's batching
+    must match a per-stream loop."""
+    from siammot_tpu.models.emm import _hann_window
+    from siammot_tpu.ops.pallas.decode import emm_decode_pallas
+    from siammot_tpu.ops.upsample import bicubic_matrix
+
+    n, k, s, up = 3, 4, 16, 16
+    x4 = jnp.asarray(rng.randn(n, k, 4, s, s).astype(np.float32))
+    wh = jnp.asarray(np.abs(rng.randn(n, k, 2)).astype(np.float32) * 50
+                     + 20)
+    u = jnp.asarray(bicubic_matrix(s, up), jnp.float32)
+    win = jnp.asarray(_hann_window(s * up)).reshape(s * up, s * up)
+    valid = jnp.asarray(rng.rand(n, k) < 0.5)
+
+    fn = lambda x, w, v: emm_decode_pallas(
+        x, w, u, win, v, sigma=0.4, use_centerness=True, up_scale=up,
+        interpret=True)
+    got = jax.vmap(fn)(x4, wh, valid)
+    for i in range(n):
+        want = fn(x4[i], wh[i], valid[i])
+        np.testing.assert_array_equal(np.asarray(got[0][i]),
+                                      np.asarray(want[0]))
+        np.testing.assert_array_equal(np.asarray(got[1][i]),
+                                      np.asarray(want[1]))
