@@ -68,3 +68,30 @@ def test_given_detection_mode(model_and_params):
     out, state2 = jax.jit(model.forward_inference)(params, img, state, given)
     assert bool(jnp.isfinite(out.boxes).all())
     assert int(state2.frame_idx) == 1
+
+
+def test_aot_config_inference_step():
+    """The AOT recipe (SEARCH_REGION=5, small anchors, exact gather
+    pooler) runs the full jitted frame step end-to-end."""
+    import os
+
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(os.path.dirname(__file__), "..",
+                                     "configs/dla/DLA_34_FPN_EMM_AOT.yaml"))
+    cfg.TPU.MAX_TRACKS = 4
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TEST = 50
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TEST = 20
+    cfg.MODEL.RPN.FPN_POST_NMS_TOP_N_TEST = 20
+    cfg.freeze()
+    model = SiamMOT(cfg)
+    assert model.ecfg.search_region == 5.0
+    params = model.init_params(jax.random.PRNGKey(0), (128, 160))
+
+    step = jax.jit(model.forward_inference)
+    state = model.empty_state()
+    rng = np.random.RandomState(0)
+    for t in range(2):
+        img = jnp.asarray(rng.randn(1, 128, 160, 3).astype(np.float32))
+        out, state = step(params, img, state)
+        assert bool(jnp.isfinite(out.boxes).all())
+        assert int(state.frame_idx) == t + 1
