@@ -241,6 +241,18 @@ _C.TPU.POOLER_DTYPE = "bfloat16"
 # space-to-depth DLA stem: exact rewrite of the 3 full-resolution
 # low-channel stem convs into half-res 4x-channel convs (models/dla.py)
 _C.TPU.S2D_STEM = True
+# --- kernels awaiting on-chip (Mosaic) validation -----------------------
+# Interpret-mode parity is proven for all of these, but Mosaic imposes
+# lowering restrictions interpret mode cannot catch; a compile failure in
+# the driver's round bench would be worse than the speedup.  Flip the
+# defaults to True once tools/verify_kernels_tpu.py has passed on a real
+# chip.
+# Pallas fused decode (upsample+penalty+argmax in VMEM; whole-map and
+# row-striped variants) instead of the XLA fused decode epilogue
+_C.TPU.DECODE_PALLAS = False
+# dead-slot-skipping masked kernels for the per-track pipeline (xcorr,
+# predictor, decode) — compute scales with occupancy, not capacity
+_C.TPU.MASKED_TRACK_KERNELS = False
 # device mesh axis sizes for data parallelism (0 = all available devices)
 _C.TPU.DATA_PARALLEL = 0
 # rematerialize backbone activations in the training backward pass

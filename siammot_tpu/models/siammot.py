@@ -177,6 +177,9 @@ class SiamMOT:
         from ..utils.registry import SIAMESE_TRACKER, TRACKER_SAMPLER
         SIAMESE_TRACKER.get(cfg.MODEL.TRACK_HEAD.MODEL)
         TRACKER_SAMPLER.get(cfg.MODEL.TRACK_HEAD.MODEL)
+        # kernels pending on-chip Mosaic validation (configs/defaults.py)
+        self.decode_pallas = cfg.TPU.DECODE_PALLAS
+        self.masked_kernels = cfg.TPU.MASKED_TRACK_KERNELS
         self.windowed = cfg.TPU.POOLER_WINDOWED
         self.train_windowed = cfg.TPU.TRAIN_POOLER_WINDOWED
         self.window_box = cfg.TPU.WINDOW_BOX
@@ -325,12 +328,12 @@ class SiamMOT:
                                       jnp.zeros((k,), jnp.int32), ecfg,
                                       pack=pack, window=self.window_sr,
                                       valid=occupied)
+        occ_k = occupied if self.masked_kernels else None
         cls_l, ctr_l, reg_l = net.apply(params, sr_feats, state.template,
-                                        occupied, method=net.emm_predict)
-        tboxes, tconf = decode_response_fused(cls_l, ctr_l, reg_l, state.sr,
-                                              state.boxes, ecfg, UPSCALE,
-                                              use_pallas=net.use_pallas,
-                                              valid=occupied)
+                                        occ_k, method=net.emm_predict)
+        tboxes, tconf = decode_response_fused(
+            cls_l, ctr_l, reg_l, state.sr, state.boxes, ecfg, UPSCALE,
+            use_pallas=net.use_pallas and self.decode_pallas, valid=occ_k)
         tvalid = occupied
         if not ecfg.amodal:
             tboxes = box_ops.clip_to_image(tboxes, image_size)
