@@ -30,18 +30,43 @@ MOT_LABEL_MAP = {
 
 
 def read_seqinfo(seq_dir: str) -> dict:
+    """Sequence metadata from ``seqinfo.ini``, or probed from the images.
+
+    MOT15-style sequences ship no ``seqinfo.ini``; the reference's
+    non-MOT17 branch (``ingest_mot.py:137-146``) assumes 30 fps, counts
+    the jpgs for the frame total, and reads width/height off the first
+    frame.  Same here.
+    """
     ini = os.path.join(seq_dir, "seqinfo.ini")
-    cp = configparser.ConfigParser()
-    cp.read(ini)
-    s = cp["Sequence"]
+    if os.path.exists(ini):
+        cp = configparser.ConfigParser()
+        cp.read(ini)
+        s = cp["Sequence"]
+        return dict(
+            name=s.get("name", os.path.basename(seq_dir)),
+            fps=float(s.get("frameRate", 30)),
+            num_frames=int(s.get("seqLength", 0)),
+            width=int(s.get("imWidth", 0)),
+            height=int(s.get("imHeight", 0)),
+            im_dir=s.get("imDir", "img1"),
+            im_ext=s.get("imExt", ".jpg"),
+        )
+    im_paths = sorted(glob.glob(os.path.join(seq_dir, "img1", "*.jpg")))
+    width = height = 0
+    if im_paths:
+        import cv2  # local: ingestion is a host-side CLI path
+
+        first = cv2.imread(im_paths[0])
+        if first is not None:
+            height, width = first.shape[:2]
     return dict(
-        name=s.get("name", os.path.basename(seq_dir)),
-        fps=float(s.get("frameRate", 30)),
-        num_frames=int(s.get("seqLength", 0)),
-        width=int(s.get("imWidth", 0)),
-        height=int(s.get("imHeight", 0)),
-        im_dir=s.get("imDir", "img1"),
-        im_ext=s.get("imExt", ".jpg"),
+        name=os.path.basename(seq_dir),
+        fps=30.0,
+        num_frames=len(im_paths),
+        width=width,
+        height=height,
+        im_dir="img1",
+        im_ext=".jpg",
     )
 
 

@@ -164,6 +164,27 @@ class SiamMOT:
         is_resnet = cfg.MODEL.BACKBONE.CONV_BODY.startswith("R-")
         self.channels = (cfg.MODEL.RESNETS.BACKBONE_OUT_CHANNELS if is_resnet
                          else cfg.MODEL.DLA.BACKBONE_OUT_CHANNELS)
+        if not is_resnet:
+            # In the reference, MODEL.DLA.DLA_STAGE{2..5}_OUT_CHANNELS feed
+            # the FPN lateral in_channels (backbone_ext.py:18-30) and MUST
+            # equal the variant's actual stage widths — a wrong override
+            # crashes torch with a conv shape mismatch.  Flax laterals
+            # infer input widths, so a wrong override would silently no-op
+            # here; fail loudly instead.
+            from .dla import DLA_VARIANTS
+            variant = DLA_VARIANTS.get(cfg.MODEL.BACKBONE.CONV_BODY)
+            if variant is not None:
+                expect = tuple(variant["channels"][2:6])
+                got = tuple(getattr(cfg.MODEL.DLA,
+                                    f"DLA_STAGE{i}_OUT_CHANNELS")
+                            for i in (2, 3, 4, 5))
+                if got != expect:
+                    raise ValueError(
+                        f"MODEL.DLA.DLA_STAGE*_OUT_CHANNELS {got} do not "
+                        f"match {cfg.MODEL.BACKBONE.CONV_BODY}'s stage "
+                        f"widths {expect}; these keys describe the "
+                        "variant's fixed stage outputs and cannot retune "
+                        "it (reference backbone_ext.py:18-30)")
         self.num_classes = cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES
         self.ecfg = EMMConfig.from_cfg(cfg)
         self.hcfg = BoxHeadConfig.from_cfg(cfg)

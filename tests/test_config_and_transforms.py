@@ -91,3 +91,22 @@ def test_all_shipped_configs_merge():
         cfg.freeze()
         body = cfg.MODEL.BACKBONE.CONV_BODY
         assert body in DLA_VARIANTS or body in RESNET_VARIANTS, path
+
+
+def test_dla_stage_out_channels_validated():
+    """MODEL.DLA.DLA_STAGE*_OUT_CHANNELS must match the variant's stage
+    widths (they feed the FPN laterals in the reference,
+    backbone_ext.py:18-30); a wrong override fails loudly instead of
+    silently no-oping."""
+    from siammot_tpu.models.siammot import SiamMOT
+
+    cfg = get_cfg()
+    cfg.MODEL.DLA.DLA_STAGE3_OUT_CHANNELS = 999
+    cfg.freeze()
+    with pytest.raises(ValueError, match="DLA_STAGE"):
+        SiamMOT(cfg)
+
+    # the defaults match DLA-34 and construct fine
+    cfg2 = get_cfg()
+    cfg2.freeze()
+    SiamMOT(cfg2)

@@ -109,3 +109,42 @@ def test_demo_inference_restores_orbax_checkpoint(tmp_path):
         raise AssertionError("missing checkpoint must raise")
     except FileNotFoundError:
         pass
+
+
+def test_rotation_probe_and_application(tmp_path):
+    """Rotation semantics of the reference probe (video_iterator.py:79-86):
+    a container rotate tag of R degrees counter-rotates each frame with
+    np.rot90(k=(-(R//90)) % 4); absent metadata means no rotation."""
+    from demos.video_iterator import (Cv2VideoIterator, apply_rotation,
+                                      check_rotation)
+
+    # plain mp4: no rotation metadata -> probe returns 0
+    path = str(tmp_path / "v.mp4")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (32, 24))
+    marker = np.zeros((24, 32, 3), np.uint8)
+    marker[0, 0] = 255  # top-left beacon
+    for _ in range(2):
+        vw.write(marker)
+    vw.release()
+    assert check_rotation(path) == 0
+
+    # the counter-rotation map, checked against np.rot90 ground truth
+    frame = np.arange(24 * 32 * 3, dtype=np.uint8).reshape(24, 32, 3)
+    assert np.array_equal(apply_rotation(frame, 0), frame)
+    for rot in (90, 180, 270):
+        out = apply_rotation(frame, rot)
+        expect = np.rot90(frame, k=(-(rot // 90)) % 4)
+        assert np.array_equal(out, expect), rot
+        assert out.shape[:2] == ((32, 24) if rot in (90, 270) else (24, 32))
+
+    # an iterator over a tagged video honors the probe (probe monkeypatched:
+    # cv2.VideoWriter cannot author display-matrix metadata)
+    import demos.video_iterator as vi
+    orig = vi.check_rotation
+    vi.check_rotation = lambda p: 90
+    try:
+        it = Cv2VideoIterator(path)
+        _, f0 = next(iter(it))
+        assert f0.shape[:2] == (32, 24)  # portrait after counter-rotation
+    finally:
+        vi.check_rotation = orig

@@ -86,3 +86,31 @@ def test_dataset_inference_end_to_end(tmp_path):
                                   out_dir, dataset_root=root)
     accs2, summary2 = inference2()
     assert summary2 == summary
+
+
+def test_ingest_mot15_without_seqinfo(tmp_path):
+    """MOT15-style sequences ship no seqinfo.ini: fps defaults to 30 and
+    num_frames/resolution are probed from the images (reference
+    ingest_mot.py:137-146)."""
+    seq = tmp_path / "train" / "ADL-Rundle-6"
+    img = seq / "img1"
+    img.mkdir(parents=True)
+    (seq / "gt").mkdir()
+    (tmp_path / "test").mkdir()
+    n_frames, w, h = 3, 80, 48
+    for i in range(n_frames):
+        cv2.imwrite(str(img / f"{i + 1:06d}.jpg"),
+                    np.full((h, w, 3), 100, np.uint8))
+    rows = [f"{i + 1},1,5,6,20,30,1,1,1.0" for i in range(n_frames)]
+    (seq / "gt" / "gt.txt").write_text("\n".join(rows))
+
+    ingest_mot(str(tmp_path))
+    ds = MotionDataset("anno.json", root_path=str(tmp_path))
+    sid, sample = ds.get_split("train")[0]
+    assert sid == "ADL-Rundle-6"
+    assert sample.width == w and sample.height == h
+    assert sample.metadata["fps"] == 30.0
+    assert sample.metadata["number_of_frames"] == n_frames
+    # entity time uses the probed fps
+    e = sample.get_entities_for_frame_num(1)[0]
+    assert abs(e.time - 1000.0 / 30.0) < 1e-6
