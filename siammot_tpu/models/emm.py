@@ -316,15 +316,28 @@ def decode_response(cls_logits, center_logits, reg_logits, locations,
         conf = cls_prob
     tlbr = reg_logits.reshape(k, L, 4)
 
-    # scale penalty (track_core.py:138-152); box extents WITHOUT +1
+    # scale penalty (track_core.py:138-152); box extents WITHOUT +1.
+    # NO epsilon guards: the reference divides raw, and the IEEE behavior
+    # is semantically live — upsampled relu reg maps hit exact zeros
+    # (sw=0 -> 1/0=+inf -> penalty exp(-inf)=0 suppresses the cell) and
+    # bicubic overshoot makes them negative (max(sw, 1/sw) stays NEGATIVE,
+    # leaving the cell unsuppressed; with the other axis at 0 the penalty
+    # is +inf and WINS the argmax).  Guarding flips these decisions
+    # (caught by tests/test_reference_model_parity.py).
     box_w = template_boxes[:, 2] - template_boxes[:, 0]
     box_h = template_boxes[:, 3] - template_boxes[:, 1]
+    # dead fixed-capacity slots carry all-zero boxes; box-head-decoded
+    # live boxes always have strictly positive extents, so guarding ONLY
+    # the ==0 case keeps reference IEEE semantics for every live slot
+    # while dead slots stay finite (consumers mask on occupancy)
+    box_w = jnp.where(box_w == 0, 1.0, box_w)
+    box_h = jnp.where(box_h == 0, 1.0, box_h)
     r_w = tlbr[..., 2] + tlbr[..., 0]
     r_h = tlbr[..., 3] + tlbr[..., 1]
-    scale_w = r_w / jnp.maximum(box_w[:, None], 1e-10)
-    scale_h = r_h / jnp.maximum(box_h[:, None], 1e-10)
-    scale_w = jnp.maximum(scale_w, 1.0 / jnp.maximum(scale_w, 1e-10))
-    scale_h = jnp.maximum(scale_h, 1.0 / jnp.maximum(scale_h, 1e-10))
+    scale_w = r_w / box_w[:, None]
+    scale_h = r_h / box_h[:, None]
+    scale_w = jnp.maximum(scale_w, 1.0 / scale_w)
+    scale_h = jnp.maximum(scale_h, 1.0 / scale_h)
     penalty = jnp.exp((-scale_w * scale_h + 1.0) * 0.1)
 
     window = jnp.asarray(_hann_window(s))[None, :]
@@ -381,6 +394,9 @@ def decode_response_fused(cls_logits, center_logits, reg_logits, sr_boxes,
              reg_logits[..., 1] + reg_logits[..., 3]]
     box_w = template_boxes[:, 2] - template_boxes[:, 0]
     box_h = template_boxes[:, 3] - template_boxes[:, 1]
+    # zero extents only on dead slots — see decode_response
+    box_w = jnp.where(box_w == 0, 1.0, box_w)
+    box_h = jnp.where(box_h == 0, 1.0, box_h)
     window = jnp.asarray(_hann_window(s_hi)).reshape(s_hi, s_hi)
     sigma = ecfg.cosine_window_weight
 
@@ -405,10 +421,11 @@ def decode_response_fused(cls_logits, center_logits, reg_logits, sr_boxes,
         conf = cls_prob * jax.nn.sigmoid(up[..., 1]) if ecfg.use_centerness \
             else cls_prob
 
-        scale_w = up[..., 2] / jnp.maximum(box_w[:, None, None], 1e-10)
-        scale_h = up[..., 3] / jnp.maximum(box_h[:, None, None], 1e-10)
-        scale_w = jnp.maximum(scale_w, 1.0 / jnp.maximum(scale_w, 1e-10))
-        scale_h = jnp.maximum(scale_h, 1.0 / jnp.maximum(scale_h, 1e-10))
+        # raw IEEE divisions — see decode_response for why guards are wrong
+        scale_w = up[..., 2] / box_w[:, None, None]
+        scale_h = up[..., 3] / box_h[:, None, None]
+        scale_w = jnp.maximum(scale_w, 1.0 / scale_w)
+        scale_h = jnp.maximum(scale_h, 1.0 / scale_h)
         penalty = jnp.exp((-scale_w * scale_h + 1.0) * 0.1)
 
         p_conf = conf * penalty * (1 - sigma) + sigma * window

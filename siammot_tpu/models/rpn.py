@@ -182,7 +182,12 @@ def _topk_level(objectness, deltas, anchors, image_size, rcfg: RPNConfig,
                                                           jnp.int32)])
         pad = jnp.concatenate([jnp.ones((hwa,), bool),
                                jnp.zeros((k - hwa,), bool)])
-    proposals = box_ops.decode(deltas[idx], anchors[idx])
+    # maskrcnn's RPN BoxCoder uses weights (1,1,1,1) (rpn.py
+    # ``rpn_box_coder``), NOT the box-head's (10,10,5,5) — caught by the
+    # torch-replica golden test; also required for reference-checkpoint
+    # compatibility (their RPN deltas are unit-scaled)
+    proposals = box_ops.decode(deltas[idx], anchors[idx],
+                               weights=(1.0, 1.0, 1.0, 1.0))
     if not rcfg.amodal:
         proposals = box_ops.clip_to_image(proposals, image_size)
     keep = box_ops.min_size_mask(proposals, rcfg.min_size) & pad
@@ -303,7 +308,9 @@ def rpn_loss(rng, logits, deltas, anchors_per_level, gt: Boxes,
     num_sampled = jnp.maximum(jnp.sum(sampled), 1)
 
     matched_gt = gt.boxes[jnp.clip(matches, 0)]
-    reg_targets = box_ops.encode(matched_gt, anchors)
+    # unit weights: maskrcnn's RPN BoxCoder (must match the decode side)
+    reg_targets = box_ops.encode(matched_gt, anchors,
+                                 weights=(1.0, 1.0, 1.0, 1.0))
     box_l = jnp.sum(
         jnp.where(sampled_pos[:, None], smooth_l1(dlt - reg_targets, 1.0 / 9), 0.0)
     ) / num_sampled

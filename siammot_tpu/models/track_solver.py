@@ -74,7 +74,13 @@ def solve(state: TrackState, rows: Boxes, scfg: SolverConfig):
 
     is_det = rows.ids < 0
     start = keep & is_det & (adj >= scfg.start_thresh)
-    start_rank = jnp.cumsum(start.astype(jnp.int32)) - 1
+    # the reference assigns new ids over the NMS-kept boxlist, whose rows
+    # are in score-DESCENDING order (track_solver.py:96-97 iterating
+    # boxlist_nms output) — not input-row order
+    m = rows.ids.shape[0]
+    start_order = jnp.argsort(jnp.where(start, -adj, jnp.inf), stable=True)
+    start_rank = jnp.zeros((m,), jnp.int32).at[start_order].set(
+        jnp.arange(m, dtype=jnp.int32))
     new_ids = jnp.where(start, state.next_id + start_rank, rows.ids)
     next_id = state.next_id + jnp.sum(start.astype(jnp.int32))
 

@@ -45,12 +45,15 @@ def _decode_kernel(x4_ref, u_ref, ut_ref, win_ref, wh_ref, idx_ref,
     cls_prob = jax.nn.sigmoid(up(0))
     conf = cls_prob * jax.nn.sigmoid(up(1)) if use_centerness else cls_prob
 
-    w = jnp.maximum(wh_ref[0, 0], 1e-10)
-    h = jnp.maximum(wh_ref[0, 1], 1e-10)
-    scale_w = up(2) / w
-    scale_h = up(3) / h
-    scale_w = jnp.maximum(scale_w, 1.0 / jnp.maximum(scale_w, 1e-10))
-    scale_h = jnp.maximum(scale_h, 1.0 / jnp.maximum(scale_h, 1e-10))
+    # raw IEEE divisions (reference semantics — zero/negative upsampled
+    # reg values carry meaning; see models/emm.py decode_response)
+    # zero extents only on dead slots (see models/emm.py decode_response)
+    bw = jnp.where(wh_ref[0, 0] == 0, 1.0, wh_ref[0, 0])
+    bh = jnp.where(wh_ref[0, 1] == 0, 1.0, wh_ref[0, 1])
+    scale_w = up(2) / bw
+    scale_h = up(3) / bh
+    scale_w = jnp.maximum(scale_w, 1.0 / scale_w)
+    scale_h = jnp.maximum(scale_h, 1.0 / scale_h)
     penalty = jnp.exp((-scale_w * scale_h + 1.0) * 0.1)
 
     p_conf = conf * penalty * (1.0 - sigma) + sigma * win_ref[...]
@@ -84,8 +87,8 @@ def _decode_kernel_striped(x4_ref, u_ref, ut_ref, win_ref, wh_ref, idx_ref,
                                    preferred_element_type=jnp.float32)
 
     t = [dot(u_ref[...], x4_ref[0, c]) for c in range(4)]   # [S_hi, S]
-    w = jnp.maximum(wh_ref[0, 0], 1e-10)
-    h = jnp.maximum(wh_ref[0, 1], 1e-10)
+    w = jnp.where(wh_ref[0, 0] == 0, 1.0, wh_ref[0, 0])
+    h = jnp.where(wh_ref[0, 1] == 0, 1.0, wh_ref[0, 1])
     big = jnp.int32(s_hi * s_hi)
 
     def body(k, carry):
@@ -98,8 +101,8 @@ def _decode_kernel_striped(x4_ref, u_ref, ut_ref, win_ref, wh_ref, idx_ref,
             else cls_prob
         scale_w = up[2] / w
         scale_h = up[3] / h
-        scale_w = jnp.maximum(scale_w, 1.0 / jnp.maximum(scale_w, 1e-10))
-        scale_h = jnp.maximum(scale_h, 1.0 / jnp.maximum(scale_h, 1e-10))
+        scale_w = jnp.maximum(scale_w, 1.0 / scale_w)
+        scale_h = jnp.maximum(scale_h, 1.0 / scale_h)
         penalty = jnp.exp((-scale_w * scale_h + 1.0) * 0.1)
         win = win_ref[pl.ds(r0, stripe), :]
         p_conf = conf * penalty * (1.0 - sigma) + sigma * win

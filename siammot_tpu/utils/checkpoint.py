@@ -224,8 +224,26 @@ def import_torch_checkpoint(path_or_state, params_template):
     conv("rpn.head.bbox_pred", "params/rpn/bbox_pred")
 
     # ---- box head
+    # fc6 consumes the FLATTENED pooled features, whose memory order
+    # differs between frameworks: torch flattens [C, res, res] (C-major),
+    # flax flattens [res, res, C] (HWC).  Permute fc6's input dim
+    # accordingly (caught by tests/test_reference_model_parity.py — a
+    # plain transpose scrambles every real reference checkpoint).
     fx = "roi_heads.box.feature_extractor."
-    dense(fx + "fc6", "params/box/feature_extractor/fc6")
+
+    def dense_fc6(tkey: str, jkey: str):
+        wt = sd[tkey + ".weight"]                       # [out, C*res*res]
+        in_j = flat[jkey + "/kernel"].shape[0]
+        c = flat["params/fpn/layer1/kernel"].shape[-1]
+        res = int(np.sqrt(in_j // c))
+        assert res * res * c == in_j, (in_j, c)
+        wt = wt.reshape(-1, c, res, res).transpose(0, 2, 3, 1)
+        put(jkey + "/kernel", wt.reshape(wt.shape[0], -1).T)
+        used.add(tkey + ".weight")
+        put(jkey + "/bias", sd[tkey + ".bias"])
+        used.add(tkey + ".bias")
+
+    dense_fc6(fx + "fc6", "params/box/feature_extractor/fc6")
     dense(fx + "fc7", "params/box/feature_extractor/fc7")
     dense("roi_heads.box.predictor.cls_score", "params/box/predictor/cls_score")
     dense("roi_heads.box.predictor.bbox_pred", "params/box/predictor/bbox_pred")
@@ -306,6 +324,31 @@ def export_torch_checkpoint(params) -> dict:
         c0 = s2d_tree["s2d_base_bn"]["scale"].shape[0] // 4
         c1 = s2d_tree["s2d_level1_bn"]["scale"].shape[0]
         std = s2d_to_stem(s2d_tree, c0, c1)
+        # the S2D stem's function class is larger than the standard stem's
+        # (extra phase taps + per-phase BN); a stem TRAINED in S2D form
+        # generally cannot be represented exactly, and this export then
+        # PROJECTS it (PARITY.md #7).  Quantify and warn so users don't
+        # silently ship a degraded torch model — for exact export train
+        # with TPU.S2D_STEM=False.
+        from ..models.dla import stem_to_s2d
+        rt = stem_to_s2d(std["base_conv"]["kernel"], std["base_bn"],
+                         std["level0_conv0"]["kernel"], std["level0_bn0"],
+                         std["level1_conv0"]["kernel"], std["level1_bn0"])
+        num = den = 0.0
+        for mod, payload in rt.items():
+            for leaf, val in payload.items():
+                orig = np.asarray(s2d_tree[mod][leaf])
+                num += float(np.sum((orig - np.asarray(val)) ** 2))
+                den += float(np.sum(orig ** 2))
+        rel = (num / max(den, 1e-20)) ** 0.5
+        if rel > 1e-3:
+            import logging
+            logging.getLogger(__name__).warning(
+                "S2D stem projection is LOSSY (relative error %.3f): this "
+                "model was trained with TPU.S2D_STEM=True and its stem "
+                "cannot be represented in the reference parameterization. "
+                "Exported torch weights will underperform; train with "
+                "TPU.S2D_STEM=False for exact export.", rel)
 
         def put_std(tkey_conv, tkey_bn, mod_conv, mod_bn):
             sd[tkey_conv + ".weight"] = np.transpose(
@@ -371,7 +414,18 @@ def export_torch_checkpoint(params) -> dict:
     conv("rpn.head.bbox_pred", "params/rpn/bbox_pred")
 
     fx = "roi_heads.box.feature_extractor."
-    dense(fx + "fc6", "params/box/feature_extractor/fc6")
+
+    def dense_fc6(tkey, jkey):
+        # inverse of the import-side fc6 permutation: flax flattens the
+        # pooled features HWC, torch C-major
+        k = np.asarray(flat[jkey + "/kernel"])           # [res*res*C, out]
+        c = np.asarray(flat["params/fpn/layer1/kernel"]).shape[-1]
+        res = int(np.sqrt(k.shape[0] // c))
+        wt = k.T.reshape(-1, res, res, c).transpose(0, 3, 1, 2)
+        sd[tkey + ".weight"] = wt.reshape(wt.shape[0], -1)
+        sd[tkey + ".bias"] = np.asarray(flat[jkey + "/bias"])
+
+    dense_fc6(fx + "fc6", "params/box/feature_extractor/fc6")
     dense(fx + "fc7", "params/box/feature_extractor/fc7")
     dense("roi_heads.box.predictor.cls_score",
           "params/box/predictor/cls_score")

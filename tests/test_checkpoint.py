@@ -1,5 +1,6 @@
 """Checkpointer + torch state-dict converter roundtrip."""
 
+import pytest
 import jax
 import numpy as np
 
@@ -19,6 +20,7 @@ def _small_model():
     return model, params
 
 
+@pytest.mark.slow
 def test_torch_roundtrip():
     _, params = _small_model()
     # Projection: a fresh S2D stem kernel is MORE expressive than the
@@ -47,6 +49,7 @@ def test_torch_roundtrip():
     assert n_nonzero >= 100       # the import actually filled the tree
 
 
+@pytest.mark.slow
 def test_orbax_save_load(tmp_path):
     _, params = _small_model()
     ckptr = Checkpointer(str(tmp_path))

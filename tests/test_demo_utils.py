@@ -1,5 +1,6 @@
 """Demo pipeline utilities: vis generator, writer, video iterator."""
 
+import pytest
 import os
 import sys
 
@@ -70,6 +71,7 @@ def test_video_iterator_file(tmp_path):
     assert frames[0][1].shape == (24, 32, 3)
 
 
+@pytest.mark.slow
 def test_demo_inference_restores_orbax_checkpoint(tmp_path):
     """Regression: pointing --model-file at a single Orbax checkpoint dir
     (run_dir/model_NNN) silently fell back to random weights (the loader

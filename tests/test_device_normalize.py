@@ -1,5 +1,6 @@
 """Device-side uint8 normalization == host Normalize (+ zero pad)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,6 +35,7 @@ def test_normalize_images_f32_passthrough(rng):
     np.testing.assert_array_equal(np.asarray(out), x)
 
 
+@pytest.mark.slow
 def test_uint8_inference_matches_f32(rng):
     """Full inference step: raw uint8 frame == host-normalized f32 frame
     (pad zeroed) at tight tolerance."""

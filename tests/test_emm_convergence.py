@@ -7,6 +7,10 @@ This closes the loop between the training target assignment
 disagreed, the head could minimize the loss yet decode garbage.
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

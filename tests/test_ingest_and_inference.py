@@ -57,6 +57,7 @@ def test_ingest_mot(tmp_path):
     assert e.bbox[0] == 12 and "person" in e.labels
 
 
+@pytest.mark.slow
 def test_dataset_inference_end_to_end(tmp_path):
     root = _make_mot_root(tmp_path)
     ingest_mot(root)

@@ -1,5 +1,9 @@
 """Multi-stream vmapped inference + clip scan on the virtual CPU mesh."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

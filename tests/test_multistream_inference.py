@@ -1,5 +1,9 @@
 """Multi-video batched inference == sequential per-video inference."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import os
 
 import cv2

@@ -1,5 +1,6 @@
 """NMS parity vs a serial greedy oracle with maskrcnn (+1 IoU) semantics."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -40,6 +41,7 @@ def rand_cluster_boxes(rng, n, size=400):
     return np.concatenate([c - wh / 2, c + wh / 2], -1).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_nms_matches_oracle(rng):
     for trial in range(5):
         n = 200

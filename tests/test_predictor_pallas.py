@@ -95,6 +95,7 @@ def test_pallas_predictor_all_dead(rng):
         assert not np.any(np.asarray(g))
 
 
+@pytest.mark.slow
 def test_masked_kernels_under_vmap(rng):
     """Multistream inference vmaps the frame step over streams; the
     masked kernels' pallas batching rules must produce per-stream

@@ -119,6 +119,7 @@ def _r50_model():
     return cfg, model, params
 
 
+@pytest.mark.slow
 def test_r50_siammot_builds_and_roundtrips():
     _, model, params = _r50_model()
     assert model.channels == 256
@@ -143,6 +144,7 @@ def test_r50_siammot_builds_and_roundtrips():
                                    rtol=1e-6, atol=1e-6, err_msg=key)
 
 
+@pytest.mark.slow
 def test_freeze_conv_body_at_zeroes_stem_and_layer1():
     import optax
 

@@ -2,6 +2,7 @@
 CUDA kernel semantics (csrc/ROIAlign_cuda.cu, aligned=False), including the
 virtual-padding path vs physically padded features."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -141,6 +142,7 @@ def test_multilevel_matches_per_level(rng):
         np.testing.assert_allclose(got[sel], want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_multilevel_virtual_pad(rng):
     """Multilevel pooler with PAD_PIXELS matches per-level physical pad."""
     c = 4
@@ -178,6 +180,7 @@ def test_multilevel_virtual_pad(rng):
         np.testing.assert_allclose(got[sel], want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_batched_pooler_ignores_extra_levels(rng):
     """Passing the full FPN list (incl. P6, uncovered by pooler scales)
     must equal passing only the scale-covered levels — regression test for

@@ -6,6 +6,7 @@ masked re-selection equals a numpy oracle of "top-n scores over every
 image's NMS survivors" and leaves the per-image path untouched.
 """
 
+import pytest
 import dataclasses
 
 import jax
@@ -33,6 +34,7 @@ def _setup(rng, n_img=3, hw=(8, 8), num_a=3):
     return logits, deltas, anchors, rcfg
 
 
+@pytest.mark.slow
 def test_per_batch_topk_matches_oracle(rng):
     logits, deltas, anchors, rcfg = _setup(rng)
     image_size = (32, 32)

@@ -22,6 +22,7 @@ def model_and_params():
     return model, params
 
 
+@pytest.mark.slow
 def test_inference_step_runs_and_carries_state(model_and_params):
     model, params = model_and_params
     step = jax.jit(model.forward_inference)
@@ -50,6 +51,7 @@ def test_inference_step_runs_and_carries_state(model_and_params):
             assert (s > 0).all() and (s <= 1.0 + 1e-5).all()
 
 
+@pytest.mark.slow
 def test_given_detection_mode(model_and_params):
     """MOT17 public-detection bypass (roi_heads.py:24-33)."""
     from siammot_tpu.core.structures import Boxes
@@ -70,6 +72,7 @@ def test_given_detection_mode(model_and_params):
     assert int(state2.frame_idx) == 1
 
 
+@pytest.mark.slow
 def test_aot_config_inference_step():
     """The AOT recipe (SEARCH_REGION=5, small anchors, exact gather
     pooler) runs the full jitted frame step end-to-end."""

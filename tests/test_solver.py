@@ -1,6 +1,7 @@
 """Track solver + TrackState transition tests against the reference state
 machine semantics (track_solver.py / track_utils.py TrackPool)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -60,6 +61,7 @@ def active_ids(state):
     return sorted(ids[(ids >= 0) & act].tolist())
 
 
+@pytest.mark.slow
 def test_start_new_tracks():
     state = mk_state()
     rows = mk_rows([[0, 0, 20, 20], [100, 100, 130, 130], [200, 0, 220, 30]],
@@ -148,3 +150,16 @@ def test_track_missing_from_rows_is_suspended():
     # the slot survives as dormant with its cache
     assert occupied_ids(state) == [0]
     assert active_ids(state) == []
+
+
+def test_new_ids_assigned_in_score_order():
+    """The reference assigns fresh track ids over the NMS-kept boxlist,
+    which is score-DESCENDING (track_solver.py:96-97 after boxlist_nms) —
+    not input-row order."""
+    st = mk_state()
+    rows = mk_rows([[10, 10, 30, 30], [60, 60, 90, 90], [110, 10, 140, 40]],
+                   [0.7, 0.95, 0.8], [-1, -1, -1])
+    out, _ = step(st, rows)
+    ids = np.asarray(out.ids)[:3].tolist()
+    # highest score starts first: row1 -> 0, row2 -> 1, row0 -> 2
+    assert ids == [2, 0, 1]

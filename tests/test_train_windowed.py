@@ -7,6 +7,10 @@ fits the static windows the two are the same math, so losses AND
 parameter gradients must match.
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

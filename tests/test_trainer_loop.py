@@ -5,6 +5,10 @@ Python around the jitted step; this pins the loop contract — meters,
 checkpoint cadence, model_final, and that parameters actually move.
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import numpy as np
 import jax
 import jax.numpy as jnp

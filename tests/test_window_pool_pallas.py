@@ -1,5 +1,6 @@
 """Pallas fused window pool (interpret mode) vs the XLA formulation."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,6 +89,7 @@ def test_window_pool_backward_matches_autodiff(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_window_pool_striped_f32_sr_shapes(rng):
     """The striped kernels at the f32 SR-pool production shape (window
     128, hb 32 — the un-striped formulation OOM'd scoped VMEM on chip):

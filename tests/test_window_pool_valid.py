@@ -8,6 +8,7 @@ unmasked pooler bit-for-bit, and the backward must match autodiff of the
 masked forward.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -45,6 +46,7 @@ def _setup(rng, n=8):
             jnp.asarray(widths), rois, levels, scales)
 
 
+@pytest.mark.slow
 def test_valid_mask_fwd_parity(rng):
     table, offsets, heights, widths, rois, levels, scales = _setup(rng)
     n = rois.shape[0]
@@ -101,6 +103,7 @@ def test_valid_mask_nan_dead_rows(rng):
         assert np.all(np.asarray(out)[4:] == 0)
 
 
+@pytest.mark.slow
 def test_valid_mask_backward(rng):
     """Compacted Pallas bwd vs autodiff of the masked XLA forward."""
     from siammot_tpu.ops.pallas.window_pool import window_pool

@@ -1,5 +1,9 @@
 """Full-model parity: windowed pooling vs exact gather pooling."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np
