@@ -10,6 +10,18 @@ dataset_maps = {
     # synthetic MOT-format benchmark rendered by tools/make_synth_mot.py
     # (stands in for MOT17/CrowdHuman, which cannot ship with the repo)
     "SYNMOT": ["SYNMOT", "anno.json", "splits.json", "video"],
+    # hard preset (MOT17 statistics: crowding, pan/zoom camera, amodal
+    # truncation, long occlusions, simulated public detections) rendered
+    # by tools/make_synth_mot.py --preset hard
+    "SYNMOT_HARD": ["SYNMOT_HARD", "anno.json", "splits.json", "video"],
+    # CrowdHuman-style crowded stills (tools/make_synth_crowd.py) for
+    # detector pretraining, mirroring the reference's CrowdHuman fbox keys
+    "SYNCROWD_train_fbox": ["SYNCROWD",
+                            "annotations/annotation_train_fbox.json",
+                            "Images", "image"],
+    "SYNCROWD_val_fbox": ["SYNCROWD",
+                          "annotations/annotation_val_fbox.json",
+                          "Images", "image"],
     "TAO": ["TAO", "anno_person.json", "splits_person.json", "video"],
     "CRP": ["caltech_roadside_pedestrians", "anno.json", "splits.json",
             "video"],

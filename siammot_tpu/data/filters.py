@@ -89,7 +89,8 @@ def build_data_filter_fn(dataset_key: str, *args, **kwargs):
     """Key -> filter (reference ``build_data_filter_fn``)."""
     if dataset_key == "CRP":
         return CRPFilter(*args, **kwargs)
-    if dataset_key.startswith("MOT"):
+    if dataset_key.startswith("MOT") or dataset_key.startswith("SYNMOT"):
+        # SYNMOT is a MOT-format stand-in: same visibility/person rules
         return MOTFilter(*args, **kwargs)
     if dataset_key == "AOT":
         return AOTFilter(*args, **kwargs)

@@ -71,6 +71,21 @@ def train(cfg, output_dir: str, logger):
         params, leftovers = import_torch_checkpoint(weight, params)
         logger.info("imported torch weights %s (%d unmatched keys)",
                     weight, len(leftovers))
+    elif weight:
+        # native checkpoint init (params only — fresh optimizer/schedule),
+        # e.g. detector-pretrain -> video-finetune (the reference's
+        # CrowdHuman -> MOT17 recipe loads MODEL.WEIGHT the same way)
+        src = Checkpointer(weight) if os.path.isdir(weight) else None
+        path = src.latest() if src else weight
+        restored = Checkpointer(os.path.dirname(path)).load(path, like=None)
+        rp = restored["params"]
+        ours, theirs = jax.tree.leaves(params), jax.tree.leaves(rp)
+        if len(ours) != len(theirs) or any(
+                a.shape != tuple(b.shape) for a, b in zip(ours, theirs)):
+            raise ValueError(f"MODEL.WEIGHT {weight} is not "
+                             f"shape-compatible with this config")
+        params = jax.device_put(rp)
+        logger.info("initialized params from %s", path)
 
     mesh = make_mesh(cfg.TPU.DATA_PARALLEL or None)
     logger.info("mesh: %s", mesh)
