@@ -118,6 +118,63 @@ def stack_levels(features: list, img_idx_levels: int = None):
     return table, np.array(offsets, np.int32), heights, widths
 
 
+def window_clamp_mask(rois, scales, heights, widths, levels,
+                      output_size: int, sampling_ratio: int, window: int,
+                      pad_pixels: int = 0):
+    """Per-ROI deviation detector for the windowed pooler (PARITY #5/#9).
+
+    Returns [N] bool: True iff some bilinear tap that the exact gather
+    pooler would weight with a REAL feature value (i.e., a tap inside the
+    unpadded level) falls outside this ROI's static window — exactly the
+    ROIs whose windowed result differs from ``multilevel_roi_align``.
+    Taps in the virtual-pad region are zeros in both paths and never count.
+
+    Mirrors ``roi_align_windowed``'s origin computation (incl. the
+    8-aligned column origin) tap for tap.
+    """
+    rois = jnp.asarray(rois, jnp.float32)
+    scales = jnp.asarray(scales, jnp.float32)
+    h_arr = jnp.asarray(heights, jnp.int32)[levels]
+    w_arr = jnp.asarray(widths, jnp.int32)[levels]
+    pads = jnp.round(pad_pixels * scales).astype(jnp.int32)
+
+    start = rois[:, :2] * scales[:, None]
+    end = rois[:, 2:] * scales[:, None]
+    extent = jnp.maximum(end - start, 1.0)
+    xs = _sample_positions(start[:, 0], extent[:, 0], output_size,
+                           sampling_ratio)
+    ys = _sample_positions(start[:, 1], extent[:, 1], output_size,
+                           sampling_ratio)
+
+    def origin(pos, pad, size):
+        first = jnp.floor(pos[:, 0]).astype(jnp.int32) - pad
+        last = jnp.floor(pos[:, -1]).astype(jnp.int32) + 1 - pad
+        o = first - jnp.maximum((window - (last - first + 1)) // 2, 0)
+        return jnp.clip(o, 0, jnp.maximum(size - window, 0))
+
+    def clamped(pos, pad, size, o):
+        sp = (size + 2 * pad).astype(pos.dtype)[:, None]
+        p = jnp.clip(pos, 0.0, sp - 1)
+        lo = jnp.minimum(jnp.floor(p).astype(jnp.int32),
+                         (size + 2 * pad)[:, None] - 1)
+        hi = jnp.minimum(lo + 1, (size + 2 * pad)[:, None] - 1)
+        # taps the exact path weights with real feature values
+        inside = (pos >= -1.0) & (pos <= sp)
+        real_lo = lo - pad[:, None]
+        real_hi = hi - pad[:, None]
+        ok_lo = inside & (real_lo >= 0) & (real_lo < size[:, None])
+        ok_hi = inside & (real_hi >= 0) & (real_hi < size[:, None])
+        out_lo = ok_lo & ((real_lo < o[:, None])
+                          | (real_lo >= o[:, None] + window))
+        out_hi = ok_hi & ((real_hi < o[:, None])
+                          | (real_hi >= o[:, None] + window))
+        return jnp.any(out_lo | out_hi, axis=-1)
+
+    oy = origin(ys, pads, h_arr)
+    ox = (origin(xs, pads, w_arr) // 8) * 8
+    return clamped(ys, pads, h_arr, oy) | clamped(xs, pads, w_arr, ox)
+
+
 def _axis_weights(pos, size_real, pad, origin, window: int):
     """Dense per-ROI interpolation weights along one axis.
 
