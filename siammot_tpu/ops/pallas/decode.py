@@ -27,9 +27,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _decode_kernel(x4_ref, u_ref, ut_ref, win_ref, wh_ref, idx_ref,
+def _decode_kernel(i, x4_ref, u_ref, ut_ref, win_ref, wh_ref, idx_ref,
                    score_ref, *, sigma: float, use_centerness: bool,
                    s_hi: int):
+    """``wh_ref`` is the FULL [1, 2K] SMEM row ([w0, h0, w1, h1, ...]);
+    ``idx_ref``/``score_ref`` are full [1, K] SMEM rows — per-slot (1, 2)
+    and (1, 1) blocks violate Mosaic's (8, 128) block tiling, so every
+    program addresses its own column.  ``i`` is the program id, passed in
+    by the wrapper (calling ``pl.program_id`` inside a ``pl.when`` branch
+    has no interpret-mode lowering)."""
     hi = jax.lax.Precision.HIGHEST
 
     def up(c):
@@ -48,8 +54,8 @@ def _decode_kernel(x4_ref, u_ref, ut_ref, win_ref, wh_ref, idx_ref,
     # raw IEEE divisions (reference semantics — zero/negative upsampled
     # reg values carry meaning; see models/emm.py decode_response)
     # zero extents only on dead slots (see models/emm.py decode_response)
-    bw = jnp.where(wh_ref[0, 0] == 0, 1.0, wh_ref[0, 0])
-    bh = jnp.where(wh_ref[0, 1] == 0, 1.0, wh_ref[0, 1])
+    bw = jnp.where(wh_ref[0, 2 * i] == 0, 1.0, wh_ref[0, 2 * i])
+    bh = jnp.where(wh_ref[0, 2 * i + 1] == 0, 1.0, wh_ref[0, 2 * i + 1])
     scale_w = up(2) / bw
     scale_h = up(3) / bh
     scale_w = jnp.maximum(scale_w, 1.0 / scale_w)
@@ -64,14 +70,14 @@ def _decode_kernel(x4_ref, u_ref, ut_ref, win_ref, wh_ref, idx_ref,
     jj = jax.lax.broadcasted_iota(jnp.int32, (s_hi, s_hi), 1)
     flat = ii * s_hi + jj
     idx = jnp.min(jnp.where(p_conf == m, flat, s_hi * s_hi))
-    idx_ref[0, 0] = idx
-    score_ref[0, 0] = jnp.max(jnp.where(flat == idx, cls_prob,
+    idx_ref[0, i] = idx
+    score_ref[0, i] = jnp.max(jnp.where(flat == idx, cls_prob,
                                         -jnp.float32(jnp.inf)))
 
 
-def _decode_kernel_striped(x4_ref, u_ref, ut_ref, win_ref, wh_ref, idx_ref,
-                           score_ref, *, sigma: float, use_centerness: bool,
-                           s_hi: int, stripe: int):
+def _decode_kernel_striped(prog, x4_ref, u_ref, ut_ref, win_ref, wh_ref,
+                           idx_ref, score_ref, *, sigma: float,
+                           use_centerness: bool, s_hi: int, stripe: int):
     """Row-striped variant for large upsampled maps (AOT's SEARCH_REGION=5
     gives 976x976 — several full maps would blow scoped VMEM).  Keeps the
     un-striped kernel's contraction order ((U @ X) row-block @ U^T), so
@@ -86,16 +92,21 @@ def _decode_kernel_striped(x4_ref, u_ref, ut_ref, win_ref, wh_ref, idx_ref,
                                    precision=hi,
                                    preferred_element_type=jnp.float32)
 
-    t = [dot(u_ref[...], x4_ref[0, c]) for c in range(4)]   # [S_hi, S]
-    w = jnp.where(wh_ref[0, 0] == 0, 1.0, wh_ref[0, 0])
-    h = jnp.where(wh_ref[0, 1] == 0, 1.0, wh_ref[0, 1])
+    x4 = [x4_ref[0, c] for c in range(4)]                   # [S, S]
+    w = jnp.where(wh_ref[0, 2 * prog] == 0, 1.0, wh_ref[0, 2 * prog])
+    h = jnp.where(wh_ref[0, 2 * prog + 1] == 0, 1.0,
+                  wh_ref[0, 2 * prog + 1])
     big = jnp.int32(s_hi * s_hi)
 
     def body(k, carry):
         best_m, best_idx, best_cls = carry
         r0 = pl.multiple_of(k * stripe, 8)
-        up = [dot(jax.lax.dynamic_slice_in_dim(t[c], r0, stripe),
-                  ut_ref[...]) for c in range(4)]           # [stripe, S_hi]
+        # slice the REF (values have no dynamic_slice lowering in Mosaic):
+        # stripe rows of U @ X @ U^T, same per-row contraction order as
+        # the whole-map kernel -> bitwise-equal cells
+        u_rows = u_ref[pl.ds(r0, stripe), :]
+        up = [dot(dot(u_rows, x4[c]), ut_ref[...])
+              for c in range(4)]                            # [stripe, S_hi]
         cls_prob = jax.nn.sigmoid(up[0])
         conf = cls_prob * jax.nn.sigmoid(up[1]) if use_centerness \
             else cls_prob
@@ -121,8 +132,8 @@ def _decode_kernel_striped(x4_ref, u_ref, ut_ref, win_ref, wh_ref, idx_ref,
 
     init = (-jnp.float32(jnp.inf), big, -jnp.float32(jnp.inf))
     _, idx, cls_at = jax.lax.fori_loop(0, s_hi // stripe, body, init)
-    idx_ref[0, 0] = idx
-    score_ref[0, 0] = cls_at
+    idx_ref[0, prog] = idx
+    score_ref[0, prog] = cls_at
 
 
 def _pick_stripe(s_hi: int) -> int:
@@ -130,6 +141,12 @@ def _pick_stripe(s_hi: int) -> int:
         if s_hi % d == 0:
             return d
     raise ValueError(f"s_hi={s_hi} has no multiple-of-8 stripe divisor")
+
+
+def _plain_kernel(body):
+    def kernel(*refs):
+        body(pl.program_id(0), *refs)
+    return kernel
 
 
 def _gated_kernel(body):
@@ -140,12 +157,13 @@ def _gated_kernel(body):
 
         @pl.when(valid_ref[i] != 0)
         def _():
-            body(x4_ref, u_ref, ut_ref, win_ref, wh_ref, idx_ref, score_ref)
+            body(i, x4_ref, u_ref, ut_ref, win_ref, wh_ref, idx_ref,
+                 score_ref)
 
         @pl.when(valid_ref[i] == 0)
         def _():
-            idx_ref[0, 0] = jnp.int32(0)
-            score_ref[0, 0] = jnp.float32(0.0)
+            idx_ref[0, i] = jnp.int32(0)
+            score_ref[0, i] = jnp.float32(0.0)
 
     return kernel
 
@@ -188,15 +206,20 @@ def emm_decode_pallas(x4, wh, u, window, valid=None, *, sigma: float,
                                  use_centerness=bool(use_centerness),
                                  s_hi=s_hi)
 
+    # wh rides as one [1, 2K] SMEM row and (idx, score) come back as
+    # [1, K] SMEM rows — full-array blocks (block == array always passes
+    # Mosaic's (8, 128) tiling check); each program addresses column
+    # ``program_id`` (see tests/test_pallas_lowering.py)
     args = (x4.astype(jnp.float32), u, jnp.transpose(u), window,
-            jnp.asarray(wh, jnp.float32))
+            jnp.asarray(wh, jnp.float32).reshape(1, 2 * k))
     block_shapes = [(1, 4, s_lo, s_lo), (s_hi, s_lo), (s_lo, s_hi),
-                    (s_hi, s_hi), (1, 2)]
-    slot_major = [True, False, False, False, True]
-    out_shape = [jax.ShapeDtypeStruct((k, 1), jnp.int32),
-                 jax.ShapeDtypeStruct((k, 1), jnp.float32)]
+                    (s_hi, s_hi), (1, 2 * k)]
+    slot_major = [True, False, False, False, False]
+    smem = [False, False, False, False, True]
+    out_shape = [jax.ShapeDtypeStruct((1, k), jnp.int32),
+                 jax.ShapeDtypeStruct((1, k), jnp.float32)]
 
-    def spec(shape, per_slot, extra_scalar):
+    def spec(shape, per_slot, extra_scalar, in_smem=False):
         nd = len(shape)
         if per_slot:
             idx_map = (lambda i, v: (i,) + (0,) * (nd - 1)) \
@@ -204,23 +227,27 @@ def emm_decode_pallas(x4, wh, u, window, valid=None, *, sigma: float,
         else:
             idx_map = (lambda i, v: (0,) * nd) if extra_scalar \
                 else (lambda i: (0,) * nd)
-        return pl.BlockSpec(shape, idx_map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec(shape, idx_map,
+                            memory_space=pltpu.SMEM if in_smem
+                            else pltpu.VMEM)
 
+    out_spec = lambda xs: spec((1, k), False, xs, in_smem=True)  # noqa
     if valid is None:
         idx, score = pl.pallas_call(
-            body, grid=(k,),
-            in_specs=[spec(s, m, False)
-                      for s, m in zip(block_shapes, slot_major)],
-            out_specs=[spec((1, 1), True, False)] * 2,
+            _plain_kernel(body), grid=(k,),
+            in_specs=[spec(s, m, False, ms)
+                      for s, m, ms in zip(block_shapes, slot_major, smem)],
+            out_specs=[out_spec(False)] * 2,
             out_shape=out_shape, interpret=interpret)(*args)
     else:
         idx, score = pl.pallas_call(
             _gated_kernel(body),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1, grid=(k,),
-                in_specs=[spec(s, m, True)
-                          for s, m in zip(block_shapes, slot_major)],
-                out_specs=[spec((1, 1), True, True)] * 2),
+                in_specs=[spec(s, m, True, ms)
+                          for s, m, ms in zip(block_shapes, slot_major,
+                                              smem)],
+                out_specs=[out_spec(True)] * 2),
             out_shape=out_shape, interpret=interpret,
         )(valid.astype(jnp.int32), *args)
-    return idx[:, 0], score[:, 0]
+    return idx[0], score[0]

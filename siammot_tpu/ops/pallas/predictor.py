@@ -52,9 +52,15 @@ def _conv9(xp, w, s: int, out_dtype):
 
 
 def _pad1(x, s: int, c: int):
-    """[S, S, C] -> [S+2, S+2, C] zero border (SAME padding for 3x3)."""
-    xp = jnp.zeros((s + 2, s + 2, c), x.dtype)
-    return jax.lax.dynamic_update_slice(xp, x, (1, 1, 0))
+    """[S, S, C] -> [S+2, S+2, C] zero border (SAME padding for 3x3).
+
+    Built from concatenates: ``dynamic_update_slice`` has no Mosaic
+    lowering rule (found via jax.export cross-lowering; see
+    tests/test_pallas_lowering.py)."""
+    zrow = jnp.zeros((1, s, c), x.dtype)
+    x = jnp.concatenate([zrow, x, zrow], axis=0)
+    zcol = jnp.zeros((s + 2, 1, c), x.dtype)
+    return jnp.concatenate([zcol, x, zcol], axis=1)
 
 
 def _group_norm(y, scale, bias, groups: int, eps: float):
