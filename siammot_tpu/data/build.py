@@ -59,7 +59,8 @@ class IterationLoader:
 
     def __init__(self, dataset, collator, batch_clips: int, max_iter: int,
                  num_workers: int = 4, seed: int = 0, start_iter: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2, process_index: int = 0,
+                 process_count: int = 1):
         self.dataset = dataset
         self.collator = collator
         self.batch_clips = batch_clips
@@ -68,12 +69,25 @@ class IterationLoader:
         self.seed = seed
         self.start_iter = start_iter
         self.prefetch = prefetch
+        if batch_clips % process_count:
+            raise ValueError(
+                f"VIDEO_CLIPS_PER_BATCH={batch_clips} must divide evenly "
+                f"over {process_count} processes")
+        self.process_index = process_index
+        self.process_count = process_count
 
     def _indices_for(self, iteration: int):
+        # the GLOBAL batch is drawn identically on every process (seeded
+        # by iteration alone); each process loads only its contiguous
+        # slice, matching the contiguous 'data'-axis batch sharding
+        # (jax.devices() orders devices by process).  The multi-host
+        # analogue of DDP's rank-sharded sampler.
         n = len(self.dataset)
         rng = random.Random(f"{self.seed}/{iteration}")
-        return [(rng.randrange(n), rng.getrandbits(31))
-                for _ in range(self.batch_clips)]
+        idx = [(rng.randrange(n), rng.getrandbits(31))
+               for _ in range(self.batch_clips)]
+        per = self.batch_clips // self.process_count
+        return idx[self.process_index * per:(self.process_index + 1) * per]
 
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -120,6 +134,8 @@ class IterationLoader:
 
 
 def build_train_data_loader(cfg, start_iter: int = 0, seed: int = 0):
+    import jax
+
     dataset = build_dataset(cfg)
     logger.info("train dataset: %d clips", len(dataset))
     static = None
@@ -131,4 +147,6 @@ def build_train_data_loader(cfg, start_iter: int = 0, seed: int = 0):
                            batch_clips=cfg.SOLVER.VIDEO_CLIPS_PER_BATCH,
                            max_iter=cfg.SOLVER.MAX_ITER,
                            num_workers=cfg.DATALOADER.NUM_WORKERS,
-                           seed=seed, start_iter=start_iter)
+                           seed=seed, start_iter=start_iter,
+                           process_index=jax.process_index(),
+                           process_count=jax.process_count())

@@ -65,6 +65,9 @@ def do_train(model, train_step, params, opt_state, data_loader, checkpointer,
         prev_handler = None
 
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+    # multi-host: params/opt_state ride fully replicated, so process 0
+    # alone materializes and writes them (DDP rank-0 checkpointing)
+    save_here = checkpointer is not None and jax.process_index() == 0
     meters = {"loss": SmoothedValue(), "time": SmoothedValue(),
               "data": SmoothedValue()}
     logger.info("Start training")
@@ -78,7 +81,12 @@ def do_train(model, train_step, params, opt_state, data_loader, checkpointer,
         iteration += 1
         meters["data"].update(time.time() - end)
 
-        rng, step_rng = jax.random.split(rng)
+        # per-iteration key by fold_in (not a sequential split chain):
+        # a resumed run at start_iter=k draws the SAME keys iterations
+        # k+1.. as the uninterrupted run — with the deterministic
+        # (seed, iteration)-keyed loader this makes resume bit-faithful
+        # (the reference's resume replays neither sampler nor RNG state)
+        step_rng = jax.random.fold_in(rng, iteration)
         with jax.profiler.StepTraceAnnotation("train_step",
                                               step_num=iteration):
             params, opt_state, metrics = train_step(params, opt_state,
@@ -98,13 +106,13 @@ def do_train(model, train_step, params, opt_state, data_loader, checkpointer,
             if tensorboard_writer is not None:
                 tensorboard_writer(iteration, host)
 
-        if iteration % checkpoint_period == 0 and checkpointer is not None:
+        if iteration % checkpoint_period == 0 and save_here:
             checkpointer.save(iteration, params, opt_state)
 
         meters["time"].update(time.time() - end)
         end = time.time()
 
-    if checkpointer is not None:
+    if save_here:
         checkpointer.save(iteration, params, opt_state)
         checkpointer.save(iteration, params, opt_state, tag="model_final")
     if prev_handler is not None:

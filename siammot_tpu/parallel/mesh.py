@@ -35,6 +35,39 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), ("data",))
 
 
+def host_batch_to_global(mesh: Mesh, tree, spec=P("data")):
+    """Form global arrays from per-process local batch shards.
+
+    Single-controller (one process): identity — jit's ``in_shardings``
+    moves host numpy onto the mesh directly.  Multi-controller
+    (``jax.distributed.initialize``): each process holds only its slice
+    of the global batch (the loader shards by ``jax.process_index()``),
+    and jit cannot implicitly globalize host-local data, so every leaf is
+    assembled into a global ``jax.Array`` whose addressable shards are
+    this process's data.  Contiguous batch sharding: ``jax.devices()``
+    orders devices by process index, so process p's local block lands on
+    its own chips — the multi-host analogue of the reference's DDP
+    rank-sharded sampler (``/root/reference/tools/train_net.py:50-54``).
+    """
+    if jax.process_count() == 1:
+        return tree
+    sh = NamedSharding(mesh, spec)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sh, np.asarray(x)), tree)
+
+
+def replicate_to_global(mesh: Mesh, tree):
+    """Replicate host-local values (params/optimizer state, identical on
+    every process) onto the global mesh.  Identity when single-process."""
+    if jax.process_count() == 1:
+        return tree
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sh, np.asarray(x)), tree)
+
+
 def make_lr_schedule(cfg):
     """maskrcnn WarmupMultiStepLR: linear warmup (factor 1/3, 500 iters)
     then x0.1 at each SOLVER.STEPS milestone."""
@@ -161,9 +194,24 @@ def build_train_step(model, tx, mesh: Mesh, image_size=None):
         metrics = dict(losses, loss=total)
         return params, opt_state, metrics
 
-    return jax.jit(
+    jstep = jax.jit(
         step,
         in_shardings=(repl, repl, data, data, data, repl),
         out_shardings=(repl, repl, repl),
         donate_argnums=(0, 1),
     )
+    if jax.process_count() == 1:
+        return jstep
+
+    # multi-controller: per-call batch leaves are process-local shards and
+    # must be assembled into global arrays before entering the jit; the
+    # rng key is identical on every process (same seed chain) and rides
+    # replicated.  params/opt_state are global already (the caller runs
+    # them through ``replicate_to_global`` once; step outputs stay global).
+    def multihost_step(params, opt_state, images, gt, frame_sizes, rng):
+        images, gt, frame_sizes = host_batch_to_global(
+            mesh, (images, gt, frame_sizes))
+        rng = replicate_to_global(mesh, rng)
+        return jstep(params, opt_state, images, gt, frame_sizes, rng)
+
+    return multihost_step

@@ -67,3 +67,54 @@ def test_loader_deterministic_and_shaped(tmp_path):
                  build_train_data_loader(cfg, seed=8)]
     assert any(not np.array_equal(a[0], c[0])
                for a, c in zip(batches_a, batches_c))
+
+
+def test_loader_process_sharding(tmp_path):
+    """Process shards partition the global batch contiguously: the
+    concatenation of every process's batch equals the single-process
+    global batch (multi-host loader contract, parallel/mesh
+    ``host_batch_to_global``)."""
+    _make_coco(tmp_path)
+    cfg = get_cfg()
+    cfg.INPUT.MIN_SIZE_TRAIN = (64,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 96
+    cfg.SOLVER.VIDEO_CLIPS_PER_BATCH = 4
+    cfg.SOLVER.MAX_ITER = 2
+    cfg.DATASETS.ROOT_DIR = str(tmp_path)
+    cfg.DATASETS.TRAIN = ("COCO17_train",)
+    cfg.DATALOADER.NUM_WORKERS = 2
+    cfg.TPU.MAX_GT = 8
+    # static size so every shard pads identically regardless of content
+    cfg.TPU.INPUT_HEIGHT = 96
+    cfg.TPU.INPUT_WIDTH = 96
+
+    from siammot_tpu.data.build import IterationLoader, build_dataset
+    from siammot_tpu.data.datasets import ClipCollator
+
+    def batches(pi, pc):
+        dataset = build_dataset(cfg)
+        collator = ClipCollator(cfg.DATALOADER.SIZE_DIVISIBILITY,
+                                max_gt=cfg.TPU.MAX_GT,
+                                static_size=(96, 96))
+        loader = IterationLoader(dataset, collator, batch_clips=4,
+                                 max_iter=2, num_workers=2, seed=3,
+                                 process_index=pi, process_count=pc)
+        return [(i.copy(), g, s) for i, g, s in loader]
+
+    full = batches(0, 1)
+    shard0 = batches(0, 2)
+    shard1 = batches(1, 2)
+    assert len(full) == len(shard0) == len(shard1) == 2
+    for (fi, fg, fs), (ai, ag, as_), (bi, bg, bs) in zip(full, shard0,
+                                                         shard1):
+        assert fi.shape[0] == 8 and ai.shape[0] == bi.shape[0] == 4
+        np.testing.assert_array_equal(fi, np.concatenate([ai, bi]))
+        np.testing.assert_array_equal(fs, np.concatenate([as_, bs]))
+        np.testing.assert_array_equal(
+            np.asarray(fg.boxes),
+            np.concatenate([np.asarray(ag.boxes), np.asarray(bg.boxes)]))
+
+    import pytest
+    with pytest.raises(ValueError):
+        IterationLoader(build_dataset(cfg), None, batch_clips=3,
+                        max_iter=1, process_count=2)

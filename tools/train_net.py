@@ -39,7 +39,8 @@ def train(cfg, output_dir: str, logger):
     from siammot_tpu.engine.trainer import do_train
     from siammot_tpu.models.siammot import SiamMOT
     from siammot_tpu.parallel.mesh import (build_train_step, make_mesh,
-                                           make_optimizer)
+                                           make_optimizer,
+                                           replicate_to_global)
     from siammot_tpu.utils.checkpoint import (Checkpointer,
                                               import_torch_checkpoint)
 
@@ -88,7 +89,10 @@ def train(cfg, output_dir: str, logger):
         logger.info("initialized params from %s", path)
 
     mesh = make_mesh(cfg.TPU.DATA_PARALLEL or None)
-    logger.info("mesh: %s", mesh)
+    logger.info("mesh: %s (%d processes)", mesh, jax.process_count())
+    # multi-controller: params/opt_state (identical on every process) must
+    # become global replicated arrays before entering the global-mesh jit
+    params, opt_state = replicate_to_global(mesh, (params, opt_state))
     static = None
     if cfg.TPU.INPUT_HEIGHT and cfg.TPU.INPUT_WIDTH:
         static = (cfg.TPU.INPUT_WIDTH, cfg.TPU.INPUT_HEIGHT)
