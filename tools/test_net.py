@@ -34,6 +34,10 @@ def main():
     parser.add_argument("--test-dataset", required=True)
     parser.add_argument("--set", default="test", choices=("train", "val",
                                                           "test"))
+    parser.add_argument("--eval-det-ap", action="store_true",
+                        help="also report detection AP@[0.50:0.95] over the "
+                             "post-filtered tracks (the reference keeps this "
+                             "path dead-commented, inferencer.py:170)")
     parser.add_argument("opts", nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -89,6 +93,9 @@ def main():
                                  public_detection,
                                  dataset_root=info.get("dataset_root", ""))
     inference()
+    if args.eval_det_ap:
+        _, txt = inference.eval_det_ap()
+        logger.info(txt)
 
 
 if __name__ == "__main__":
