@@ -182,6 +182,10 @@ _C.SOLVER.WARMUP_ITERS = 500
 _C.SOLVER.WARMUP_METHOD = "linear"
 _C.SOLVER.CHECKPOINT_PERIOD = 5000
 _C.SOLVER.VIDEO_CLIPS_PER_BATCH = 16
+# TPU addition: run each global batch as N sequential microbatches with
+# averaged gradients (one optimizer/LR step per batch) — the reference's
+# 8-GPU batch-16 recipe on fewer chips without 8x activation memory
+_C.SOLVER.ACCUMULATION_STEPS = 1
 
 _C.DATALOADER = CN()
 _C.DATALOADER.NUM_WORKERS = 4

@@ -45,13 +45,19 @@ class SmoothedValue:
 
 def do_train(model, train_step, params, opt_state, data_loader, checkpointer,
              max_iter: int, checkpoint_period: int, start_iter: int = 0,
-             log_period: int = 20, tensorboard_writer=None, rng=None):
+             log_period: int = 20, tensorboard_writer=None, rng=None,
+             stop_file: str = None):
     """Run the training loop; returns final (params, opt_state).
 
     SIGTERM triggers a final checkpoint + clean exit, so externally
     time-limited runs (schedulers, CI timeouts) lose at most one step
-    and resume from where they stopped.
+    and resume from where they stopped.  ``stop_file`` (or the
+    SIAMMOT_STOP_FILE env var): if that path exists at a step boundary,
+    checkpoint and exit cleanly — the safe way to stop a long run on a
+    tunneled chip where killing a process mid-RPC wedges the device.
     """
+    import os
+    stop_file = stop_file or os.environ.get("SIAMMOT_STOP_FILE")
     import signal
     stop_requested = []
 
@@ -65,9 +71,12 @@ def do_train(model, train_step, params, opt_state, data_loader, checkpointer,
         prev_handler = None
 
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    # multi-host: params/opt_state ride fully replicated, so process 0
-    # alone materializes and writes them (DDP rank-0 checkpointing)
-    save_here = checkpointer is not None and jax.process_index() == 0
+    # multi-host: EVERY process must call save — orbax synchronizes all
+    # hosts inside save() and restricts the actual write to the primary,
+    # so a rank-0-only call would park process 0 in the sync barrier
+    # while the others run ahead into the next step's collectives
+    # (deadlock; see tools/dryrun_multihost.py --with-checkpoint)
+    save_here = checkpointer is not None
     meters = {"loss": SmoothedValue(), "time": SmoothedValue(),
               "data": SmoothedValue()}
     logger.info("Start training")
@@ -76,6 +85,10 @@ def do_train(model, train_step, params, opt_state, data_loader, checkpointer,
 
     iteration = start_iter
     for images, gt, frame_sizes in data_loader:
+        if stop_file and os.path.exists(stop_file):
+            logger.warning("stop file %s present — checkpointing and "
+                           "stopping at iter %d", stop_file, iteration)
+            stop_requested.append(True)
         if iteration >= max_iter or stop_requested:
             break
         iteration += 1

@@ -68,6 +68,27 @@ def replicate_to_global(mesh: Mesh, tree):
             sh, np.asarray(x)), tree)
 
 
+def sync_restored_state(params, opt_state, start_iter: int):
+    """Make init/resume state consistent across processes.
+
+    Multi-controller resume hazard: each process independently resolves
+    ``checkpointer.latest()`` / ``MODEL.WEIGHT``; on a non-shared
+    filesystem processes != 0 may find nothing and initialize fresh at
+    iteration 0 while process 0 resumes at k — divergent params AND a
+    desynced (seed, iteration)-keyed loader silently corrupt training.
+    Broadcast everything from process 0 so its view wins everywhere
+    (the reference gets this for free from DDP's rank-0 parameter
+    broadcast at wrap time, ``/root/reference/tools/train_net.py:50-54``).
+    Identity when single-process.  Returns (params, opt_state, start_iter).
+    """
+    if jax.process_count() == 1:
+        return params, opt_state, int(start_iter)
+    from jax.experimental import multihost_utils
+    params, opt_state, it = multihost_utils.broadcast_one_to_all(
+        (params, opt_state, np.int32(start_iter)))
+    return params, opt_state, int(it)
+
+
 def make_lr_schedule(cfg):
     """maskrcnn WarmupMultiStepLR: linear warmup (factor 1/3, 500 iters)
     then x0.1 at each SOLVER.STEPS milestone."""
@@ -141,12 +162,22 @@ def make_optimizer(cfg, params):
         label_fn)
 
 
-def build_train_step(model, tx, mesh: Mesh, image_size=None):
+def build_train_step(model, tx, mesh: Mesh, image_size=None,
+                     accum_steps: int = 1):
     """Jitted DP train step: params replicated, batch sharded over 'data'.
 
     batch = dict(images [B, H, W, 3], gt: Boxes with [B, G] fields,
     rng key). Returns (params', opt_state', metrics) with metrics already
     globally reduced.
+
+    ``accum_steps`` > 1 runs the per-device batch as that many equal
+    microbatches under a ``lax.scan``, averaging gradients before the
+    single optimizer update — the reference's 8-GPU batch-16 recipe
+    (``/root/reference/configs/dla/DLA_34_FPN_EMM.yaml`` SOLVER) on one
+    chip: peak activation memory is one microbatch's (the scan
+    sequentializes fwd+bwd per micro), while LR schedule/optimizer see
+    exactly one step per global batch.  Microbatches must hold whole
+    frame pairs: (B / n_devices / accum_steps) must be even.
 
     The per-device loss+grad is expressed with ``shard_map`` (manual
     partitioning, explicit ``pmean`` over 'data' = the DDP gradient
@@ -165,14 +196,45 @@ def build_train_step(model, tx, mesh: Mesh, image_size=None):
         # decorrelate per-device sampling; data differs per shard anyway
         rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
 
-        def loss_fn(p):
-            losses = model.forward_train(p, rng, images, gt,
-                                         image_size=image_size,
-                                         frame_sizes=frame_sizes)
-            return sum(losses.values()), losses
+        def grads_of(mb_rng, mb_images, mb_gt, mb_sizes):
+            def loss_fn(p):
+                losses = model.forward_train(p, mb_rng, mb_images, mb_gt,
+                                             image_size=image_size,
+                                             frame_sizes=mb_sizes)
+                return sum(losses.values()), losses
 
-        (total, losses), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
+            (total, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            return grads, total, losses
+
+        if accum_steps <= 1:
+            grads, total, losses = grads_of(rng, images, gt, frame_sizes)
+        else:
+            b = images.shape[0]
+            assert b % accum_steps == 0 and (b // accum_steps) % 2 == 0, (
+                f"per-device batch {b} not divisible into {accum_steps} "
+                f"pair-preserving microbatches")
+
+            def to_micro(x):
+                return x.reshape((accum_steps, b // accum_steps)
+                                 + x.shape[1:])
+
+            micro = jax.tree.map(to_micro, (images, gt, frame_sizes))
+
+            def body(carry, xs):
+                acc, idx = carry
+                mb_images, mb_gt, mb_sizes = xs
+                out = grads_of(jax.random.fold_in(rng, idx),
+                               mb_images, mb_gt, mb_sizes)
+                return (jax.tree.map(jnp.add, acc, out), idx + 1), None
+
+            micro0 = jax.tree.map(lambda x: x[0], micro)
+            shapes = jax.eval_shape(lambda: grads_of(rng, *micro0))
+            zeros = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                 shapes)
+            (acc, _), _ = jax.lax.scan(body, (zeros, 0), micro)
+            grads, total, losses = jax.tree.map(
+                lambda x: x / accum_steps, acc)
         # DDP all-reduce: mean of per-device batch-mean losses/grads ==
         # global batch mean (equal shard sizes)
         return jax.lax.pmean((grads, total, losses), "data")

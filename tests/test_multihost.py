@@ -5,25 +5,27 @@ Covers the reference's DDP multi-process training mode
 coordination: two OS processes, 4 virtual CPU devices each, one global
 8-device mesh, per-process batch shards globalized via
 ``parallel.mesh.host_batch_to_global``.  The two-controller run must
-reproduce the single-controller (8-device, same mesh topology) losses.
+reproduce the single-controller (8-device, same mesh topology) losses —
+including across a mid-run checkpoint written by ALL processes (the
+rank-0-only orbax save deadlocks: it synchronizes hosts internally) and
+a resume where only process 0 can read the checkpoint (non-shared
+filesystem emulation; ``parallel.mesh.sync_restored_state`` broadcasts).
 
-Slow (two cold jit compiles in subprocesses) — excluded from the default
-suite; run with ``-m slow`` or ``-m ""``.
+Slow (three cold jit compiles in subprocesses) — excluded from the
+default suite; run with ``-m slow`` or ``-m ""``.
 """
 
 import pytest
 
 
 @pytest.mark.slow
-def test_two_process_run_matches_single_process():
+def test_two_process_run_with_checkpoint_resume_matches_single_process():
     import os
     import sys
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                     "tools"))
-    from dryrun_multihost import spawn
+    from dryrun_multihost import run_parent
 
-    single = spawn(num_processes=1, n_local=8, timeout=1500)
-    multi = spawn(num_processes=2, n_local=4, timeout=1500)
-    assert len(single) == len(multi) == 2
-    for a, b in zip(single, multi):
-        assert abs(a - b) < 1e-4 * max(1.0, abs(a)), (single, multi)
+    single, multi, resumed = run_parent(with_checkpoint=True, timeout=2400)
+    assert len(single) == len(multi) == 4
+    assert len(resumed) == 2

@@ -40,7 +40,8 @@ def train(cfg, output_dir: str, logger):
     from siammot_tpu.models.siammot import SiamMOT
     from siammot_tpu.parallel.mesh import (build_train_step, make_mesh,
                                            make_optimizer,
-                                           replicate_to_global)
+                                           replicate_to_global,
+                                           sync_restored_state)
     from siammot_tpu.utils.checkpoint import (Checkpointer,
                                               import_torch_checkpoint)
 
@@ -88,6 +89,13 @@ def train(cfg, output_dir: str, logger):
         params = jax.device_put(rp)
         logger.info("initialized params from %s", path)
 
+    # multi-controller: init/resume above ran per-process against possibly
+    # non-shared filesystems — process 0's restored state and start_iter
+    # must win everywhere BEFORE the loader (keyed by (seed, iteration))
+    # and the global mesh are built
+    params, opt_state, start_iter = sync_restored_state(
+        params, opt_state, start_iter)
+
     mesh = make_mesh(cfg.TPU.DATA_PARALLEL or None)
     logger.info("mesh: %s (%d processes)", mesh, jax.process_count())
     # multi-controller: params/opt_state (identical on every process) must
@@ -96,7 +104,8 @@ def train(cfg, output_dir: str, logger):
     static = None
     if cfg.TPU.INPUT_HEIGHT and cfg.TPU.INPUT_WIDTH:
         static = (cfg.TPU.INPUT_WIDTH, cfg.TPU.INPUT_HEIGHT)
-    step = build_train_step(model, tx, mesh, image_size=static)
+    step = build_train_step(model, tx, mesh, image_size=static,
+                            accum_steps=cfg.SOLVER.ACCUMULATION_STEPS)
 
     loader = build_train_data_loader(cfg, start_iter=start_iter)
     tb = None
