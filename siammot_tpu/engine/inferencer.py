@@ -87,7 +87,7 @@ class DatasetInference:
 
     def __init__(self, cfg, model, params, dataset, output_dir,
                  data_filter_fn=None, public_detection=None,
-                 dataset_root: str = ""):
+                 dataset_root: str = "", n_streams: int = 1):
         self._cfg = cfg
         self._model = model
         self._params = params
@@ -99,6 +99,7 @@ class DatasetInference:
         self._transform = EvalTransform(cfg)
         self._track_conf = 0.7
         self._track_len = 5
+        self._n_streams = max(int(n_streams), 1)
         self.results = {}
 
     def _inference_on_video(self, sample) -> DataSample:
@@ -125,7 +126,28 @@ class DatasetInference:
                     out.add_entity(e)
         return out
 
+    def _run_multistream(self):
+        """Batch all uncached videos through the vmapped multi-stream
+        engine (aggregate-throughput serving path; per-video JSON caches
+        and downstream eval are identical to the sequential engine)."""
+        from .multistream_inferencer import do_inference_multistream
+
+        todo = [(sid, s) for sid, s in self._dataset
+                if not os.path.exists(
+                    os.path.join(self._output_dir, f"{s.id}.json"))]
+        if todo:
+            preds = do_inference_multistream(
+                self._cfg, self._model, self._params, todo,
+                transforms=self._transform, dataset_root=self._dataset_root,
+                n_streams=self._n_streams,
+                given_detections=self._pub_detection)
+            for sid, sample in todo:
+                preds[sid].dump(
+                    os.path.join(self._output_dir, f"{sample.id}.json"))
+
     def __call__(self):
+        if self._n_streams > 1:
+            self._run_multistream()
         for sample_id, sample in self._dataset:
             result = self._inference_on_video(sample)
             result = self._postprocess_tracks(result)

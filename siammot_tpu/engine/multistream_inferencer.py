@@ -8,7 +8,9 @@ padded network-input shape, processed in waves of ``n_streams``, each
 stream carrying its own on-device TrackState.  Streams that end early
 ride along as masked lanes until the wave's longest video finishes
 (their outputs are simply not collected) — shapes stay static, no
-recompiles mid-wave.
+recompiles mid-wave.  Public-detection (MOT17) mode is supported: each
+stream's given detections are stacked into one batched ``Boxes`` per
+frame and replace that stream's RPN proposals.
 
 Results are identical to the sequential engine per video (same jitted
 math, states never interact); see tests/test_multistream_inference.py.
@@ -27,17 +29,23 @@ from ..data.motion_dataset import DataSample
 from ..data.transforms import EvalTransform
 from ..data.video_loader import normalized_frame_source, resolve_data_path
 from ..parallel.multistream import build_multistream_step, empty_states
-from ..utils.entities import boxes_to_entities
+from ..utils.entities import boxes_to_entities, entities_to_boxes
 
 logger = logging.getLogger(__name__)
 
 
 def do_inference_multistream(cfg, model, params, samples: list,
                              transforms=None, dataset_root: str = "",
-                             n_streams: int = 4) -> dict:
+                             n_streams: int = 4,
+                             given_detections: dict = None) -> dict:
     """Track a list of (sample_id, DataSample) videos; returns
-    {sample_id: DataSample} predictions."""
+    {sample_id: DataSample} predictions.
+
+    given_detections: optional {sample_id: DataSample} of public
+    detections (MOT17 mode, reference ``inferencer.py:47-54``).
+    """
     transforms = transforms or EvalTransform(cfg)
+    use_given = bool(given_detections)
 
     groups = defaultdict(list)
     for sid, sample in samples:
@@ -48,19 +56,28 @@ def do_inference_multistream(cfg, model, params, samples: list,
 
     results = {}
     for (pad_w, pad_h, in_w, in_h), group in groups.items():
-        step = build_multistream_step(model, image_size=(in_w, in_h))
+        step = build_multistream_step(model, image_size=(in_w, in_h),
+                                      use_given=use_given)
         for wave_start in range(0, len(group), n_streams):
             wave = group[wave_start:wave_start + n_streams]
             results.update(_run_wave(cfg, model, params, step, wave,
                                      transforms, dataset_root, n_streams,
-                                     (pad_h, pad_w), (in_w, in_h)))
+                                     (pad_h, pad_w), (in_w, in_h),
+                                     given_detections))
     return results
 
 
+def _stack_boxes(box_list):
+    return jax.tree.map(lambda *xs: np.stack(xs), *box_list)
+
+
 def _run_wave(cfg, model, params, step, wave, transforms, dataset_root,
-              n_streams, pad_hw, in_wh):
+              n_streams, pad_hw, in_wh, given_detections=None):
     import jax.numpy as jnp
 
+    from .inferencer import GIVEN_DETECTION_CAPACITY
+
+    use_given = bool(given_detections)
     sources = []
     metas = []
     for sid, sample in wave:
@@ -79,8 +96,12 @@ def _run_wave(cfg, model, params, step, wave, transforms, dataset_root,
     # upcasting uint8 frames to f32 here would skip normalization
     batch_dtype = np.uint8 if getattr(transforms, "device_normalize",
                                       False) else np.float32
+    # given-detection template for dead/missing lanes (all-invalid)
+    empty_given = entities_to_boxes([], GIVEN_DETECTION_CAPACITY, (1.0, 1.0)) \
+        if use_given else None
     while any(alive):
         batch = np.zeros((n_streams, 1, pad_hw[0], pad_hw[1], 3), batch_dtype)
+        givens = [empty_given] * n_streams if use_given else None
         for i, src in enumerate(sources):
             if not alive[i]:
                 continue
@@ -90,9 +111,21 @@ def _run_wave(cfg, model, params, step, wave, transforms, dataset_root,
                 continue
             batch[i] = item[0]
             n_net_frames += 1
+            if use_given:
+                sid, sample = metas[i]
+                pub = given_detections.get(sid)
+                ents = pub.get_entities_for_frame_num(frame_idx) \
+                    if pub is not None else []
+                givens[i] = entities_to_boxes(
+                    ents, GIVEN_DETECTION_CAPACITY,
+                    (in_wh[0] / sample.width, in_wh[1] / sample.height))
         if not any(alive):
             break
-        out, states = step(params, jnp.asarray(batch), states)
+        if use_given:
+            out, states = step(params, jnp.asarray(batch), states,
+                               _stack_boxes(givens))
+        else:
+            out, states = step(params, jnp.asarray(batch), states)
         for i, (sid, sample) in enumerate(metas):
             if alive[i] and frame_idx < len(sample):
                 outs[sid].append((frame_idx, jax.tree.map(

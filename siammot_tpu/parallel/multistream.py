@@ -33,20 +33,26 @@ def empty_states(model, n_streams: int) -> TrackState:
 
 
 def build_multistream_step(model, mesh: Optional[Mesh] = None,
-                           image_size=None, donate_state: bool = True):
+                           image_size=None, donate_state: bool = True,
+                           use_given: bool = False):
     """Jitted step over stacked streams.
 
     Signature: (params, images [S, 1, H, W, 3], states [S, ...]) ->
-    (outputs [S, ...], states' [S, ...]).  With a mesh, the stream axis is
-    sharded over 'data' and params are replicated.
+    (outputs [S, ...], states' [S, ...]).  With ``use_given``, a fourth
+    argument carries per-stream public detections (a stacked ``Boxes``
+    pytree, MOT17 mode) replacing each stream's RPN proposals.  With a
+    mesh, the stream axis is sharded over 'data' and params are
+    replicated.
     """
+    in_axes = (None, 0, 0, 0) if use_given else (None, 0, 0)
     fn = jax.vmap(partial(model.forward_inference, image_size=image_size),
-                  in_axes=(None, 0, 0))
+                  in_axes=in_axes)
     if mesh is None:
         return jax.jit(fn, donate_argnums=(2,) if donate_state else ())
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
-    return jax.jit(fn, in_shardings=(repl, data, data),
+    n_in = 4 if use_given else 3
+    return jax.jit(fn, in_shardings=(repl,) + (data,) * (n_in - 1),
                    out_shardings=(data, data),
                    donate_argnums=(2,) if donate_state else ())
 

@@ -34,6 +34,10 @@ def main():
     parser.add_argument("--test-dataset", required=True)
     parser.add_argument("--set", default="test", choices=("train", "val",
                                                           "test"))
+    parser.add_argument("--n-streams", type=int, default=1,
+                        help="batch N videos through the vmapped multi-"
+                             "stream engine (aggregate throughput; results "
+                             "match the sequential engine per video)")
     parser.add_argument("--eval-det-ap", action="store_true",
                         help="also report detection AP@[0.50:0.95] over the "
                              "post-filtered tracks (the reference keeps this "
@@ -91,7 +95,8 @@ def main():
     inference = DatasetInference(cfg, model, params, dataset,
                                  args.output_dir, filter_fn,
                                  public_detection,
-                                 dataset_root=info.get("dataset_root", ""))
+                                 dataset_root=info.get("dataset_root", ""),
+                                 n_streams=args.n_streams)
     inference()
     if args.eval_det_ap:
         _, txt = inference.eval_det_ap()
