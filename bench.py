@@ -24,20 +24,28 @@ import time
 
 import numpy as np
 
-CKPT = os.environ.get("SIAMMOT_BENCH_CKPT",
-                      "/tmp/train_synmot_r2/DLA34_box_EMM_SYNMOT_v2")
+# first existing candidate wins; all are S2D-stem default-config family
+_CKPT_CANDIDATES = (
+    "/tmp/train_synmot_scale/DLA34_box_EMM_SYNCROWD_train_fbox_scale",
+    "/tmp/train_synmot_r2/DLA34_box_EMM_SYNMOT_v2",
+    "/tmp/train_synmot_v2/DLA34_box_EMM_SYNMOT_v2",
+    "/tmp/train_synmot_hard/"
+    "DLA34_box_EMM_SYNMOT_HARD_SYNCROWD_train_fbox_ft",
+)
+CKPT = os.environ.get("SIAMMOT_BENCH_CKPT") or next(
+    (p for p in _CKPT_CANDIDATES if os.path.isdir(p)), _CKPT_CANDIDATES[0])
 H, W = 720, 1280
 N_SPRITES = 40
 
 
-def render_scene(n_frames, hp):
+def render_scene(n_frames, hp, seed=42):
     """Crowded SYNMOT-style 720p scene; returns uint8 [1, hp, W, 3] frames
     (device-side normalization is the production transfer path)."""
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "tools"))
     from make_synth_mot import Sprite, _texture
 
-    rng = np.random.RandomState(42)
+    rng = np.random.RandomState(seed)
     bg = _texture(rng, H, W, scale=16)
     # sprite sizes matched to the training distribution's ABSOLUTE pixel
     # sizes (trained at 384-min-side): heights ~46-160 px
@@ -120,6 +128,14 @@ def main():
 
     occ_end = int(np.asarray(state.active).sum())
     fps = 1.0 / dt
+
+    # pinned micro-anchor: code-independent device timing for normalizing
+    # FPS across sessions (the tunneled chip's speed varies day to day)
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    from bench_anchor import measure_anchor
+    anchor = measure_anchor()
+
     print(json.dumps({
         "metric": "720p_tracking_fps_per_chip",
         "value": round(fps, 2),
@@ -129,6 +145,7 @@ def main():
         "occupancy_warmup": occ_warm,
         "max_tracks": int(cfg.TPU.MAX_TRACKS),
         "trained_weights": trained,
+        **anchor,
     }))
 
 
