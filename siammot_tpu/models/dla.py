@@ -410,6 +410,11 @@ class DLA(nn.Module):
 DLA_VARIANTS = {
     "DLA-34-FPN": dict(levels=(1, 1, 1, 2, 2, 1),
                        channels=(16, 32, 64, 128, 256, 512), block=BasicBlock),
+    # tiny DLA-34-shaped body (same tree depths, ~1/50 the params) for
+    # committed-weight parity fixtures and fast debug runs; not in the
+    # reference zoo
+    "DLA-MINI-FPN": dict(levels=(1, 1, 1, 2, 2, 1),
+                         channels=(8, 16, 16, 32, 64, 64), block=BasicBlock),
     "DLA-46-C-FPN": dict(levels=(1, 1, 1, 2, 2, 1),
                          channels=(16, 32, 64, 64, 128, 256), block=Bottleneck),
     "DLA-46-XC-FPN": dict(levels=(1, 1, 1, 2, 2, 1),

@@ -92,9 +92,8 @@ class Tree(nn.Module):
 class DLA34(nn.Module):
     """Stage outputs level2..level5 (strides 4/8/16/32)."""
 
-    def __init__(self):
+    def __init__(self, ch=(16, 32, 64, 128, 256, 512)):
         super().__init__()
-        ch = (16, 32, 64, 128, 256, 512)
         self.base_layer = nn.Sequential(
             nn.Conv2d(3, ch[0], 7, padding=3, bias=False),
             FrozenBatchNorm2d(ch[0]),

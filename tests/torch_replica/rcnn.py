@@ -495,8 +495,14 @@ class SiamMOTReplica(nn.Module):
     def __init__(self, cfg):
         super().__init__()
         self.backbone = nn.Module()
-        self.backbone.body = DLA34()
-        self.backbone.fpn = FPN(out=cfg.MODEL.DLA.BACKBONE_OUT_CHANNELS)
+        # stage widths per conv body (mirrors models/dla.py DLA_VARIANTS;
+        # DLA-MINI-FPN is the committed hermetic-fixture variant)
+        ch = {"DLA-34-FPN": (16, 32, 64, 128, 256, 512),
+              "DLA-MINI-FPN": (8, 16, 16, 32, 64, 64),
+              }[cfg.MODEL.BACKBONE.CONV_BODY]
+        self.backbone.body = DLA34(ch=ch)
+        self.backbone.fpn = FPN(in_list=ch[2:6],
+                                out=cfg.MODEL.DLA.BACKBONE_OUT_CHANNELS)
         self.rpn = nn.Module()
         self.rpn.head = RPNHead(cfg.MODEL.DLA.BACKBONE_OUT_CHANNELS,
                                 len(cfg.MODEL.RPN.ASPECT_RATIOS))
