@@ -241,6 +241,12 @@ def roi_align_windowed(table: jnp.ndarray, row_offsets: jnp.ndarray,
     n = rois.shape[0]
     c = table.shape[-1]
 
+    # Mosaic DMA slices on the lane dim must be 128-aligned; narrow-channel
+    # bodies (e.g. the DLA-MINI parity fixture, C=32) take the XLA windowed
+    # path instead — same math, parity-tested in tests/test_roi_align.py
+    if backend == "pallas" and c % 128 != 0:
+        backend = "xla"
+
     # guarantee every window slice stays in-bounds: small levels overhang
     # their row block (zero-weighted), and narrow tables need width >=
     # window.  Overhang rows read neighbouring blocks or zeros — all

@@ -40,6 +40,11 @@ def mini_overrides():
         "MODEL.DLA.BACKBONE_OUT_CHANNELS", 32,
         "MODEL.ROI_BOX_HEAD.MLP_HEAD_DIM", 64,
         "TPU.S2D_STEM", False,
+        # mini widths (C=32) are below the Pallas kernels' 128-lane
+        # envelope; train the fixture on the exact/XLA paths (which is
+        # also the parameterization the parity test itself runs)
+        "TPU.USE_PALLAS", False,
+        "TPU.TRAIN_POOLER_WINDOWED", False,
     ]
 
 
