@@ -45,7 +45,8 @@ def _use_epilogue() -> bool:
 
 
 def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
-             iou_threshold: float, max_out: int | None = None) -> jnp.ndarray:
+             iou_threshold: float, max_out: int | None = None,
+             presorted: bool = False) -> jnp.ndarray:
     """Greedy NMS over a padded box set.
 
     Args:
@@ -54,16 +55,27 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
       valid: [N] bool — padding mask; invalid boxes never kept.
       iou_threshold: suppression threshold (IoU > threshold suppresses).
       max_out: optionally keep only the top-k surviving boxes by score.
+      presorted: the caller guarantees (scores masked by valid) are
+        already descending with padding at the tail — true for any set
+        coming straight out of ``lax.top_k`` (RPN per-level candidates).
+        Skips the argsort and three [N]-sized gathers/scatters; the
+        result is bitwise-identical because a stable sort of an
+        already-sorted array is the identity permutation.
 
     Returns:
       keep: [N] bool in the *original* order.
     """
     n = boxes.shape[0]
-    masked_scores = jnp.where(valid, scores, NEG_INF)
-    # stable descending sort (ties broken by original index, like torch.sort)
-    order = jnp.argsort(-masked_scores, stable=True)
-    sboxes = boxes[order]
-    svalid = valid[order]
+    if presorted:
+        sboxes, svalid = boxes, valid
+        order = None
+    else:
+        masked_scores = jnp.where(valid, scores, NEG_INF)
+        # stable descending sort (ties broken by original index, like
+        # torch.sort)
+        order = jnp.argsort(-masked_scores, stable=True)
+        sboxes = boxes[order]
+        svalid = valid[order]
 
     iou = box_iou(sboxes, sboxes)
     tri = jnp.tril(jnp.ones((n, n), dtype=bool), k=-1)  # tri[j, i]: j before i
@@ -120,6 +132,8 @@ def nms_mask(boxes: jnp.ndarray, scores: jnp.ndarray, valid: jnp.ndarray,
         rank = jnp.cumsum(keep_sorted.astype(jnp.int32)) - 1
         keep_sorted = keep_sorted & (rank < max_out)
 
+    if order is None:
+        return keep_sorted
     # scatter back to original order
     keep = jnp.zeros((n,), dtype=bool).at[order].set(keep_sorted)
     return keep

@@ -175,11 +175,16 @@ def _topk_level(objectness, deltas, anchors, image_size, rcfg: RPNConfig,
         top_scores = jax.nn.sigmoid(top_logits)
         pad = jnp.ones((k,), bool)
     else:
+        # small level: take everything, but still SORTED descending (same
+        # selection; the downstream NMS runs presorted=True, which
+        # requires valid rows in score order — top_k's lowest-index
+        # tie-break matches the stable argsort it replaces)
+        top_logits, sidx = jax.lax.top_k(objectness, hwa)
         top_scores = jnp.concatenate(
-            [jax.nn.sigmoid(objectness),
+            [jax.nn.sigmoid(top_logits),
              jnp.full((k - hwa,), -jnp.inf, objectness.dtype)])
-        idx = jnp.concatenate([jnp.arange(hwa), jnp.zeros((k - hwa,),
-                                                          jnp.int32)])
+        idx = jnp.concatenate([sidx.astype(jnp.int32),
+                               jnp.zeros((k - hwa,), jnp.int32)])
         pad = jnp.concatenate([jnp.ones((hwa,), bool),
                                jnp.zeros((k - hwa,), bool)])
     # maskrcnn's RPN BoxCoder uses weights (1,1,1,1) (rpn.py
@@ -229,8 +234,11 @@ def select_proposals(logits, deltas, anchors_per_level, image_size,
     sb = jnp.stack(lv_boxes).reshape(-1, k_pre, 4)
     ss = jnp.stack(lv_scores).reshape(-1, k_pre)
     sk = jnp.stack(lv_keep).reshape(-1, k_pre)
+    # per-level candidates come straight out of top_k (valid rows already
+    # score-descending; invalid rows are inert in the fixed-point
+    # whatever their position) -> skip the NMS-internal argsort+gathers
     nms = jax.vmap(partial(nms_mask, iou_threshold=rcfg.nms_thresh,
-                           max_out=rcfg.post_nms_top_n))
+                           max_out=rcfg.post_nms_top_n, presorted=True))
     sk = nms(sb, ss, sk)
 
     num_levels = len(lv_boxes)

@@ -129,3 +129,23 @@ def test_epilogue_exact_past_round_budget(rng):
     got = np.asarray(nms_mask(jnp.asarray(boxes), jnp.asarray(scores),
                               jnp.ones(n, bool), 0.25))
     np.testing.assert_array_equal(got, want)
+
+
+def test_presorted_matches_sorted_path(rng):
+    """presorted=True (the RPN fast path: skip argsort+gathers) is
+    bitwise-identical to the sorting path on descending-score inputs with
+    interspersed invalid rows, score ties, and a max_out cap."""
+    for trial in range(20):
+        n = 200
+        scores = np.sort(rng.rand(n).astype(np.float32))[::-1].copy()
+        scores[10:14] = scores[10]                     # ties
+        boxes = rng.rand(n, 4).astype(np.float32) * 100
+        boxes[:, 2:] = boxes[:, :2] + 5 + rng.rand(n, 2).astype(
+            np.float32) * 40
+        valid = rng.rand(n) > 0.2                      # interspersed dead
+        a = np.asarray(nms_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                                jnp.asarray(valid), 0.7, max_out=50))
+        b = np.asarray(nms_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                                jnp.asarray(valid), 0.7, max_out=50,
+                                presorted=True))
+        np.testing.assert_array_equal(a, b, err_msg=str(trial))
