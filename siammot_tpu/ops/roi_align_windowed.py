@@ -247,6 +247,15 @@ def roi_align_windowed(table: jnp.ndarray, row_offsets: jnp.ndarray,
     if backend == "pallas" and c % 128 != 0:
         backend = "xla"
 
+    # SMEM gate: the [N, 4] s32 scalar-prefetch table pads to 128 lanes in
+    # SMEM (512 B/ROI); v5e's 1 MB SMEM overflows at N = 2048 (measured:
+    # "Exceeded smem capacity by 1.1K" on a batch-16/accum-4 train step).
+    # N = 1024 (batch-2 train, inference K<=512 slots) is chip-proven, so
+    # fall back to the XLA windowed path — same math, parity-tested —
+    # rather than fail compile on large-batch training shapes.
+    if backend == "pallas" and n > 1024:
+        backend = "xla"
+
     # guarantee every window slice stays in-bounds: small levels overhang
     # their row block (zero-weighted), and narrow tables need width >=
     # window.  Overhang rows read neighbouring blocks or zeros — all

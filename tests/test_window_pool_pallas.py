@@ -48,6 +48,43 @@ def test_window_pool_pallas_matches_xla(rng):
                                atol=1e-4)
 
 
+def test_smem_gate_routes_large_roi_counts_to_xla(rng):
+    """N > 1024 must NOT reach the Pallas kernel: its [N, 4] s32
+    scalar-prefetch table pads to 128 SMEM lanes (512 B/ROI) and
+    overflows v5e's 1 MB SMEM at N = 2048 (measured compile failure on a
+    batch-16/accum-4 train step).  The dispatch falls back to the XLA
+    windowed path instead of failing compile."""
+    feats = [jnp.asarray(rng.randn(1, 64 // 2 ** i, 96 // 2 ** i, 128)
+                         .astype(np.float32)) for i in range(4)]
+    n = 1100
+    x1 = rng.uniform(0, 300, n)
+    y1 = rng.uniform(0, 200, n)
+    rois = jnp.asarray(np.stack([x1, y1, x1 + rng.uniform(20, 80, n),
+                                 y1 + rng.uniform(20, 80, n)], -1)
+                       .astype(np.float32))
+    levels = map_rois_to_levels(rois, 2, 5)
+    img_idx = jnp.zeros((n,), jnp.int32)
+    table, offsets, heights, widths = stack_levels(feats)
+    scales = jnp.asarray(np.array(SCALES, np.float32))[levels]
+    args = (table, jnp.asarray(offsets), jnp.asarray(heights),
+            jnp.asarray(widths), rois, img_idx * 4 + levels, scales)
+
+    ref = roi_align_windowed(*args, 7, 2, window=48, backend="xla")
+
+    import siammot_tpu.ops.pallas.window_pool as wp
+
+    def boom(*a, **k):
+        raise AssertionError("pallas kernel reached with N > 1024")
+
+    wp_orig = wp.window_pool_pallas
+    try:
+        wp.window_pool_pallas = boom
+        out = roi_align_windowed(*args, 7, 2, window=48, backend="pallas")
+    finally:
+        wp.window_pool_pallas = wp_orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+
+
 def test_window_pool_backward_matches_autodiff(rng):
     """Pallas scatter backward vs jax.grad of the XLA einsum forward."""
     import jax
