@@ -11,8 +11,11 @@ with SIAMMOT_BENCH_CKPT), frames are a rendered crowded moving scene
 (~40 sprites) and the reported ``occupancy`` is the number of live track
 slots actually carried between frames — K-proportional EMM work is the
 main per-frame scaling term, so an empty tracker would overstate FPS.
-Without a checkpoint it falls back to random weights + noise frames and
-reports occupancy 0 (flagged in the JSON).
+Without a /tmp checkpoint it falls back to the repo-resident trained
+fixture ``fixtures/bench_weights_f16.npz`` (tools/export_bench_fixture.py),
+so trained-weight load conditions survive /tmp wipes; random weights +
+noise frames (occupancy 0, flagged in the JSON) only occur if the fixture
+is also missing.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """

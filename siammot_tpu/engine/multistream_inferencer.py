@@ -34,6 +34,27 @@ from ..utils.entities import boxes_to_entities, entities_to_boxes
 logger = logging.getLogger(__name__)
 
 
+def pack_waves(group, n_streams):
+    """Length-aware wave packing: each wave runs for max(len) of its
+    members (finished streams ride along as masked lanes), so pack
+    longest-with-longest — a length-skewed set (MOT17: 450-1500 frames)
+    otherwise pays the max over an arbitrary mix per wave.  Per-video
+    outputs are unaffected (stream states never interact).
+
+    Addresses the TODO the reference never did
+    (``/root/reference/siammot/engine/inferencer.py:156``).
+    """
+    group = sorted(group, key=lambda sv: len(sv[1]), reverse=True)
+    return [group[i:i + n_streams]
+            for i in range(0, len(group), n_streams)]
+
+
+def wave_lane_steps(waves, n_streams):
+    """Total batched lane-steps the schedule will execute (each wave
+    steps n_streams lanes for max-member-length frames)."""
+    return sum(max(len(s) for _, s in w) * n_streams for w in waves)
+
+
 def do_inference_multistream(cfg, model, params, samples: list,
                              transforms=None, dataset_root: str = "",
                              n_streams: int = 4,
@@ -58,8 +79,7 @@ def do_inference_multistream(cfg, model, params, samples: list,
     for (pad_w, pad_h, in_w, in_h), group in groups.items():
         step = build_multistream_step(model, image_size=(in_w, in_h),
                                       use_given=use_given)
-        for wave_start in range(0, len(group), n_streams):
-            wave = group[wave_start:wave_start + n_streams]
+        for wave in pack_waves(group, n_streams):
             results.update(_run_wave(cfg, model, params, step, wave,
                                      transforms, dataset_root, n_streams,
                                      (pad_h, pad_w), (in_w, in_h),
@@ -144,6 +164,13 @@ def _run_wave(cfg, model, params, step, wave, transforms, dataset_root,
                 pred.add_entity(e)
         results[sid] = pred
     dt = time.perf_counter() - t0
-    logger.info("wave of %d videos: %d frames in %.1fs (%.1f fps aggregate)",
-                len(wave), n_net_frames, dt, n_net_frames / max(dt, 1e-6))
+    # masked-lane waste: lane-steps spent on finished/empty lanes (the
+    # batched step always computes n_streams lanes per frame_idx)
+    lane_steps = frame_idx * n_streams
+    waste = lane_steps - n_net_frames
+    logger.info(
+        "wave of %d videos: %d frames in %.1fs (%.1f fps aggregate); "
+        "masked-lane waste %d/%d lane-steps (%.1f%%)",
+        len(wave), n_net_frames, dt, n_net_frames / max(dt, 1e-6),
+        waste, lane_steps, 100.0 * waste / max(lane_steps, 1))
     return results

@@ -149,3 +149,4 @@ def test_dataset_inference_n_streams_matches_sequential(tmp_path):
         ka = sorted(_entity_key(e) for e in a.entities)
         kb = sorted(_entity_key(e) for e in b.entities)
         assert ka == kb, sid
+

@@ -234,9 +234,16 @@ CKPT = os.environ.get(
     "/tmp/train_synmot_std/DLA34_box_EMM_SYNMOT_std")
 
 
-@pytest.mark.skipif(not os.path.isdir(CKPT),
-                    reason="trained SYNMOT checkpoint not present; "
-                    "see module docstring")
+@pytest.mark.skipif(
+    not os.path.isdir(CKPT),
+    reason=f"requires a chip-trained std-stem checkpoint at {CKPT} "
+    "(perishable /tmp state; the hermetic committed-fixture goldens in "
+    "test_parity_fixture_golden.py carry this proof on fresh clones). "
+    "Regenerate (~15 min on chip): python tools/train_net.py "
+    "--config-file configs/dla/DLA_34_FPN_EMM_SYNMOT.yaml "
+    "--train-dir /tmp/train_synmot_std --model-suffix std "
+    "DATASETS.ROOT_DIR /tmp TPU.S2D_STEM False SOLVER.MAX_ITER 2500 "
+    "SOLVER.STEPS '(1500, 2200)'")
 def test_rpn_mode_tracking_golden_trained():
     """End-to-end RPN-mode golden test with trained (decisive) weights:
     RPN selection, NMS, box head, EMM propagation and solver agree over 3

@@ -47,14 +47,17 @@ def conv_plain(x, w, stride=1):
 def conv_9tap(x, w, stride=1):
     b, h, wd, c = x.shape
     co = w.shape[-1]
-    ho, wo = h // stride, wd // stride
+    # conv output extent (pad 1, kernel 3): floor((h-1)/stride)+1 — matches
+    # XLA for odd dims too (h//stride only agrees when h % stride == 0)
+    ho, wo = (h - 1) // stride + 1, (wd - 1) // stride + 1
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     acc = jnp.zeros((b * ho * wo, co), jnp.float32)
     for dy in range(3):
         for dx in range(3):
             tap = jax.lax.slice(
                 xp, (0, dy, dx, 0),
-                (b, dy + h - (stride - 1), dx + wd - (stride - 1), c),
+                (b, dy + (ho - 1) * stride + 1,
+                 dx + (wo - 1) * stride + 1, c),
                 (1, stride, stride, 1))
             acc = acc + jax.lax.dot_general(
                 tap.reshape(-1, c), w[dy, dx],
@@ -66,14 +69,15 @@ def conv_9tap(x, w, stride=1):
 def conv_im2col(x, w, stride=1):
     b, h, wd, c = x.shape
     co = w.shape[-1]
-    ho, wo = h // stride, wd // stride
+    ho, wo = (h - 1) // stride + 1, (wd - 1) // stride + 1
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     taps = []
     for dy in range(3):
         for dx in range(3):
             taps.append(jax.lax.slice(
                 xp, (0, dy, dx, 0),
-                (b, dy + h - (stride - 1), dx + wd - (stride - 1), c),
+                (b, dy + (ho - 1) * stride + 1,
+                 dx + (wo - 1) * stride + 1, c),
                 (1, stride, stride, 1)).reshape(-1, c))
     patches = jnp.concatenate(taps, axis=-1)            # [B*Ho*Wo, 9C]
     out = jax.lax.dot_general(
@@ -108,7 +112,8 @@ def main():
                                       - rb.astype(jnp.float32))))
         err_c = float(jnp.max(jnp.abs(ra.astype(jnp.float32)
                                       - rc.astype(jnp.float32))))
-        gflop = (h // s) * (w // s) * 9 * ci * co * 2 / 1e9
+        gflop = (((h - 1) // s + 1) * ((w - 1) // s + 1)
+                 * 9 * ci * co * 2 / 1e9)
         ta, tb, tc = timeit(a, x, k), timeit(b, x, k), timeit(c, x, k)
         print(f"{name}  plain {ta:7.3f} ms ({gflop/ta:6.1f} TF/s)   "
               f"9tap {tb:7.3f} ({gflop/tb:6.1f}, err {err_b:.1e})   "
