@@ -57,8 +57,72 @@ def deform_sample(x: jnp.ndarray, coords_y: jnp.ndarray,
             + v10 * wy * (1 - wx) + v11 * wy * wx)
 
 
+def deform_sample_patch(x: jnp.ndarray, coords_y: jnp.ndarray,
+                        coords_x: jnp.ndarray) -> jnp.ndarray:
+    """Exact bilinear sample via ONE [2, 2, C] patch gather per coord.
+
+    Same semantics as :func:`deform_sample` (oob corners contribute 0)
+    but fetches each sample's 2x2 neighbourhood with a single
+    ``lax.gather`` instead of four independent row gathers — half the
+    gather traffic and one contiguous [2, 2C] slice per sample, which
+    XLA:TPU streams far better than four strided row fetches.
+
+    The patch start is clamped fully in-bounds ([0, H-2] x [0, W-2]); an
+    IN-BOUNDS corner always lands on patch row/col {0, 1} after that
+    clamp (proof: corner y in [0, H-1] and start = clip(floor(cy), 0,
+    H-2) differ by at most 1 with corner >= start), and out-of-bounds
+    corners get weight 0, so no gather fill mode is needed.
+    """
+    b, h, w, c = x.shape
+    y0 = jnp.floor(coords_y)
+    x0 = jnp.floor(coords_x)
+    fy = (coords_y - y0).astype(x.dtype)
+    fx = (coords_x - x0).astype(x.dtype)
+    iy = y0.astype(jnp.int32)
+    ix = x0.astype(jnp.int32)
+    bs, ho, wo, t = iy.shape
+    n = ho * wo * t
+
+    sy = jnp.clip(iy, 0, h - 2)
+    sx = jnp.clip(ix, 0, w - 2)
+    starts = jnp.stack([sy.reshape(bs, n), sx.reshape(bs, n)], axis=-1)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+
+    def one(img, st):
+        return jax.lax.gather(
+            img, st, dnums, slice_sizes=(2, 2, c),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+    patches = jax.vmap(one)(x, starts)                   # [B, N, 2, 2, C]
+
+    # scatter the 4 bilinear corner weights onto patch coordinates:
+    # corner row cy maps to patch row cy - sy
+    def ok(yi, xi):
+        return ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)).astype(x.dtype)
+    oy = iy - sy                                         # {-1, 0, 1}
+    ox = ix - sx
+    corners = (
+        ((1 - fy) * (1 - fx) * ok(iy, ix), oy, ox),
+        ((1 - fy) * fx * ok(iy, ix + 1), oy, ox + 1),
+        (fy * (1 - fx) * ok(iy + 1, ix), oy + 1, ox),
+        (fy * fx * ok(iy + 1, ix + 1), oy + 1, ox + 1),
+    )
+    wp = []
+    for a in range(2):
+        for b_ in range(2):
+            wp.append(sum(wv * ((ry == a) & (rx == b_)).astype(x.dtype)
+                          for wv, ry, rx in corners))
+    wp = jnp.stack(wp, axis=-1).reshape(bs, n, 2, 2)
+    sampled = jnp.einsum("bnyxc,bnyx->bnc", patches, wp,
+                         preferred_element_type=jnp.float32)
+    return sampled.astype(x.dtype).reshape(bs, ho, wo, t, c)
+
+
 def deform_conv2d(x: jnp.ndarray, offsets: jnp.ndarray, kernel: jnp.ndarray,
-                  stride: int = 1, dilation: int = 1) -> jnp.ndarray:
+                  stride: int = 1, dilation: int = 1,
+                  impl: str = "auto") -> jnp.ndarray:
     """DCNv1 forward.
 
     Args:
@@ -67,6 +131,9 @@ def deform_conv2d(x: jnp.ndarray, offsets: jnp.ndarray, kernel: jnp.ndarray,
         (the torchvision/maskrcnn channel layout).
       kernel: [kh, kw, C, C'] conv kernel (HWIO).
       stride/dilation: as a padded SAME-style 3x3 conv (pad = dilation).
+      impl: "gather4" (reference ladder: four corner row gathers),
+        "patch" (single 2x2-patch gather per sample), or "auto"
+        (= "patch", the measured-fastest exact path on TPU).
 
     Returns [B, Ho, Wo, C'].
     """
@@ -88,10 +155,14 @@ def deform_conv2d(x: jnp.ndarray, offsets: jnp.ndarray, kernel: jnp.ndarray,
     cy = gy[None] + off[..., 0]                           # [B, Ho, Wo, T]
     cx = gx[None] + off[..., 1]
 
-    sampled = deform_sample(x, cy, cx)                    # [B,Ho,Wo,T,C]
-    return jnp.einsum("bhwtc,tcd->bhwd",
-                      sampled, kernel.reshape(kh * kw, c, co),
-                      preferred_element_type=jnp.float32).astype(x.dtype)
+    sample = deform_sample if impl == "gather4" else deform_sample_patch
+    sampled = sample(x, cy, cx)                           # [B,Ho,Wo,T,C]
+    # one clean [N, T*C] @ [T*C, Co] MXU matmul (not a rank-5 einsum)
+    out = jax.lax.dot_general(
+        sampled.reshape(b * ho * wo, kh * kw * c),
+        kernel.reshape(kh * kw * c, co),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return out.astype(x.dtype).reshape(b, ho, wo, co)
 
 
 class DeformConv(nn.Module):

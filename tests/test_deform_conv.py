@@ -57,3 +57,45 @@ def test_deform_conv_module(rng):
     ref = _conv_ref(x, k)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_patch_impl_matches_gather4(rng):
+    """Exactness ladder: the single-patch-gather fast path is bitwise-
+    equivalent in f32 to the 4-corner reference formulation, including
+    far-out-of-bounds samples and image-edge corners."""
+    for (hh, ww, cc, co, stride, dil, scale) in [
+            (9, 11, 8, 16, 1, 1, 3.0),     # generic + oob tails
+            (8, 8, 4, 4, 2, 1, 1.5),       # stride 2
+            (10, 7, 4, 8, 1, 2, 2.0),      # dilation 2
+            (6, 6, 4, 4, 1, 1, 50.0),      # everything far oob
+    ]:
+        ho = -(-hh // stride)
+        wo = -(-ww // stride)
+        x = jnp.asarray(rng.randn(2, hh, ww, cc).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, cc, co).astype(np.float32))
+        off = jnp.asarray(
+            (rng.randn(2, ho, wo, 18) * scale).astype(np.float32))
+        a = deform_conv2d(x, off, k, stride=stride, dilation=dil,
+                          impl="gather4")
+        b = deform_conv2d(x, off, k, stride=stride, dilation=dil,
+                          impl="patch")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_patch_impl_gradients_match(rng):
+    """Both formulations backprop identically (training with DCN)."""
+    x = jnp.asarray(rng.randn(1, 7, 9, 4).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 4, 4).astype(np.float32))
+    off = jnp.asarray((rng.randn(1, 7, 9, 18) * 2.0).astype(np.float32))
+
+    def loss(impl, x, off, k):
+        return jnp.sum(deform_conv2d(x, off, k, impl=impl) ** 2)
+
+    for argnum in (0, 1, 2):
+        ga = jax.grad(lambda *a: loss("gather4", *a), argnums=argnum)(
+            x, off, k)
+        gb = jax.grad(lambda *a: loss("patch", *a), argnums=argnum)(
+            x, off, k)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-4, atol=1e-4)
