@@ -72,6 +72,35 @@ def main():
 
     sizes = jnp.tile(jnp.asarray([[w, h]], jnp.int32), (b, 1))
     key = jax.random.PRNGKey(1)
+
+    # --- stage split: forward-only loss vs value_and_grad (fwd+bwd) ---
+    def timeit(jfn, *args, iters=10):
+        out = jfn(*args)
+        _ = float(jax.tree.leaves(out)[0])
+        t0 = time.time()
+        for _ in range(iters):
+            out = jfn(*args)
+        _ = float(jax.tree.leaves(out)[0])
+        return (time.time() - t0) / iters * 1000.0
+
+    def loss_fn(p, k_):
+        losses = model.forward_train(p, k_, images, gt, image_size=(w, h),
+                                     frame_sizes=sizes)
+        return sum(losses.values()), losses
+
+    fwd = jax.jit(lambda p, k_: loss_fn(p, k_)[0])
+    vg = jax.jit(lambda p, k_: jax.tree.map(
+        lambda g: jnp.sum(jnp.abs(g.astype(jnp.float32))),
+        jax.value_and_grad(lambda p2: loss_fn(p2, k_)[0])(p)[1]))
+    ms_fwd = timeit(fwd, params, key)
+    ms_vg = timeit(vg, params, key)
+    print(f"loss fwd only: {ms_fwd:.1f} ms   fwd+bwd: {ms_vg:.1f} ms  "
+          f"(bwd ~= {ms_vg - ms_fwd:.1f} ms, {ms_vg / ms_fwd:.2f}x fwd)")
+    # per-loss-term forward cost: drop one term at a time is invasive;
+    # instead report the loss dict so the config's enabled terms are clear
+    _, losses = jax.jit(loss_fn)(params, key)
+    print("loss terms:", {k2: round(float(v), 4)
+                          for k2, v in losses.items()})
     t0 = time.time()
     params, opt_state, metrics = step(params, opt_state, images, gt, sizes,
                                       key)

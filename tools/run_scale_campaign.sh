@@ -1,0 +1,35 @@
+#!/bin/bash
+# One session-slice of the uncompressed reference-scale training campaign
+# (VERDICT r3 item 4): the verbatim 25k-iteration batch-16 MOT17 solver
+# (configs/dla/DLA_34_FPN_EMM_SYNCROWD_SCALE.yaml), executed as a
+# checkpoint-resumed multi-session run — each invocation advances
+# SOLVER.MAX_ITER by SLICE iterations (default 3000) and exits cleanly,
+# exactly the bit-faithful cross-session resume path (engine/trainer.py,
+# tools/train_net.py resume block) was built for.
+#
+# Usage: tools/run_scale_campaign.sh [SLICE] [TRAIN_ROOT]
+set -e
+cd "$(dirname "$0")/.."
+SLICE=${1:-3000}
+ROOT=${2:-/tmp/train_scale25k}
+DIR="$ROOT/DLA34_box_EMM_SYNCROWD_train_fbox_scale25k"
+TOTAL=25000
+
+CUR=$(python - "$DIR" << 'EOF'
+import os, re, sys
+d = sys.argv[1]
+its = [int(m.group(1)) for f in (os.listdir(d) if os.path.isdir(d) else [])
+       for m in [re.match(r"model_(\d+)$", f)] if m]
+print(max(its) if its else 0)
+EOF
+)
+TARGET=$(( CUR + SLICE < TOTAL ? CUR + SLICE : TOTAL ))
+if [ "$CUR" -ge "$TOTAL" ]; then
+  echo "campaign complete at $CUR iters"; exit 0
+fi
+echo "=== campaign slice: $CUR -> $TARGET (of $TOTAL) $(date -u) ==="
+python tools/train_net.py \
+  --config-file configs/dla/DLA_34_FPN_EMM_SYNCROWD_SCALE.yaml \
+  --train-dir "$ROOT" --model-suffix scale25k \
+  DATASETS.ROOT_DIR /tmp SOLVER.MAX_ITER "$TARGET"
+echo "=== slice done at $TARGET $(date -u) ==="
