@@ -245,6 +245,10 @@ _C.TPU.POOLER_DTYPE = "bfloat16"
 # space-to-depth DLA stem: exact rewrite of the 3 full-resolution
 # low-channel stem convs into half-res 4x-channel convs (models/dla.py)
 _C.TPU.S2D_STEM = True
+# DLA stages whose 3x3 convs run as explicit im2col MXU matmuls
+# (models/dla.py conv3x3_matmul) — the deep small-spatial stages tile the
+# MXU poorly under XLA's native conv; set by on-chip A/B
+_C.TPU.CONV_MATMUL_STAGES = ()
 # --- on-chip (Mosaic) validated Pallas kernels --------------------------
 # tools/verify_kernels_tpu.py passed on a real v5e chip (2026-08-18,
 # post Mosaic-lowering fixes) and tests/test_pallas_lowering.py locks the

@@ -37,9 +37,74 @@ class FrozenBN(nn.Module):
         return x * scale + bias
 
 
+def conv3x3_matmul(x, kernel, stride=1, dilation=1, impl="im2col"):
+    """Exact 3x3 SAME conv as an explicit MXU matmul.
+
+    The deep DLA stages (46x80x256, 23x40x512 at 720p) run XLA's native
+    conv at ~18% MXU (tools/profile_deep_convs.py): the small spatial
+    extents tile the systolic array poorly.  Flattening positions to rows
+    gives one dense [B*Ho*Wo, 9C] @ [9C, Co] product ("im2col") or nine
+    accumulated [B*Ho*Wo, C] @ [C, Co] products ("9tap") — both exact
+    (same taps, f32 accumulation like XLA's conv) and layout-friendly.
+
+    Supports stride 1/2 and dilation (groups=1 only).
+    """
+    b, h, w, c = x.shape
+    co = kernel.shape[-1]
+    pad = dilation
+    ho, wo = (h - 1) // stride + 1, (w - 1) // stride + 1
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+
+    def tap(dy, dx):
+        return jax.lax.slice(
+            xp, (0, dy * dilation, dx * dilation, 0),
+            (b, dy * dilation + (ho - 1) * stride + 1,
+             dx * dilation + (wo - 1) * stride + 1, c),
+            (1, stride, stride, 1)).reshape(b * ho * wo, c)
+
+    if impl == "9tap":
+        acc = jnp.zeros((b * ho * wo, co), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                acc = acc + jax.lax.dot_general(
+                    tap(dy, dx), kernel[dy, dx],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        out = acc
+    else:
+        patches = jnp.concatenate(
+            [tap(dy, dx) for dy in range(3) for dx in range(3)], axis=-1)
+        out = jax.lax.dot_general(
+            patches, kernel.reshape(9 * c, co),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return out.astype(x.dtype).reshape(b, ho, wo, co)
+
+
+class MatmulConv(nn.Module):
+    """Drop-in for ``conv(features, 3, ...)`` using :func:`conv3x3_matmul`.
+
+    Parameter name/shape ("kernel", [3, 3, Cin, Cout]) matches ``nn.Conv``,
+    so checkpoints are interchangeable with the plain formulation."""
+
+    features: int
+    stride: int = 1
+    dilation: int = 1
+    impl: str = "im2col"
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.linear.default_kernel_init,
+            (3, 3, x.shape[-1], self.features))
+        return conv3x3_matmul(x, kernel.astype(x.dtype), self.stride,
+                              self.dilation, self.impl)
+
+
 def conv(features, kernel, stride=1, dilation=1, groups=1, bias=False,
-         name=None):
+         name=None, matmul=False):
     pad = dilation * (kernel - 1) // 2
+    if matmul and kernel == 3 and groups == 1 and not bias:
+        return MatmulConv(features, stride, dilation, name=name)
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
                    padding=((pad, pad), (pad, pad)),
                    kernel_dilation=(dilation, dilation),
@@ -52,15 +117,18 @@ class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     dilation: int = 1
+    conv_matmul: bool = False
 
     @nn.compact
     def __call__(self, x, residual=None):
         if residual is None:
             residual = x
-        out = conv(self.planes, 3, self.stride, self.dilation, name="conv1")(x)
+        out = conv(self.planes, 3, self.stride, self.dilation, name="conv1",
+                   matmul=self.conv_matmul)(x)
         out = FrozenBN(self.planes, name="bn1")(out)
         out = nn.relu(out)
-        out = conv(self.planes, 3, 1, self.dilation, name="conv2")(out)
+        out = conv(self.planes, 3, 1, self.dilation, name="conv2",
+                   matmul=self.conv_matmul)(out)
         out = FrozenBN(self.planes, name="bn2")(out)
         return nn.relu(out + residual)
 
@@ -78,6 +146,7 @@ class Bottleneck(nn.Module):
     base_width: int = 64
     expansion: int = 2
     with_dcn: bool = False
+    conv_matmul: bool = False
 
     @nn.compact
     def __call__(self, x, residual=None):
@@ -93,7 +162,8 @@ class Bottleneck(nn.Module):
                              name="conv2")(out)
         else:
             out = conv(mid, 3, self.stride, self.dilation,
-                       groups=self.cardinality, name="conv2")(out)
+                       groups=self.cardinality, name="conv2",
+                       matmul=self.conv_matmul)(out)
         out = nn.relu(FrozenBN(mid, name="bn2")(out))
         out = conv(self.planes, 1, name="conv3")(out)
         out = FrozenBN(self.planes, name="bn3")(out)
@@ -357,6 +427,9 @@ class DLA(nn.Module):
     block_kwargs: dict | None = None
     stage_with_dcn: Sequence[bool] = (False,) * 6
     s2d_stem: bool = False
+    # stages whose BasicBlock/Bottleneck 3x3s run as explicit MXU matmuls
+    # (conv3x3_matmul); chosen by on-chip measurement, empty = XLA conv
+    matmul_stages: Sequence[int] = ()
 
     @nn.compact
     def __call__(self, x):
@@ -367,9 +440,13 @@ class DLA(nn.Module):
             # DCN applies to plain bottleneck stages only (reference DlaBasic
             # swallows with_dcn, dla.py:30, and DlaBottle2neck takes none;
             # dcn_config[2..5], dla.py:265-271)
+            kw = dict(bk)
             if self.stage_with_dcn[stage] and self.block is Bottleneck:
-                return dict(bk, with_dcn=True)
-            return bk
+                kw["with_dcn"] = True
+            if stage in self.matmul_stages and self.block in (BasicBlock,
+                                                              Bottleneck):
+                kw["conv_matmul"] = True
+            return kw
 
         if self.s2d_stem:
             assert self.levels[0] == self.levels[1] == 1
@@ -436,9 +513,10 @@ DLA_VARIANTS = {
 
 
 def build_dla(conv_body: str, stage_with_dcn=(False,) * 6,
-              s2d_stem: bool = False) -> DLA:
+              s2d_stem: bool = False, matmul_stages=()) -> DLA:
     if conv_body not in DLA_VARIANTS:
         raise KeyError(f"unknown backbone {conv_body}; "
                        f"choices: {sorted(DLA_VARIANTS)}")
     return DLA(stage_with_dcn=tuple(stage_with_dcn), s2d_stem=s2d_stem,
+               matmul_stages=tuple(matmul_stages),
                **DLA_VARIANTS[conv_body])

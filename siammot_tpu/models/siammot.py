@@ -91,6 +91,7 @@ class SiamMOTNet(nn.Module):
     use_pallas: bool = True
     stage_with_dcn: tuple = (False,) * 6
     s2d_stem: bool = False
+    matmul_stages: tuple = ()
     # ResNet bodies only (CONV_BODY "R-*"); ignored for DLA
     resnet_opts: tuple = ()
     # pixel normalization for uint8 inputs (device-side: the host ships
@@ -107,7 +108,7 @@ class SiamMOTNet(nn.Module):
                                      **dict(self.resnet_opts))
         else:
             self.body = build_dla(self.conv_body, self.stage_with_dcn,
-                                  self.s2d_stem)
+                                  self.s2d_stem, self.matmul_stages)
         self.fpn = FPN(self.fpn_channels)
         self.rpn = RPNHead(self.num_anchors)
         self.box = BoxHead(self.box_resolution, self.box_scales,
@@ -220,6 +221,7 @@ class SiamMOT:
             use_pallas=cfg.TPU.USE_PALLAS,
             stage_with_dcn=tuple(cfg.MODEL.DLA.STAGE_WITH_DCN),
             s2d_stem=cfg.TPU.S2D_STEM,
+            matmul_stages=tuple(cfg.TPU.CONV_MATMUL_STAGES),
             resnet_opts=tuple(sorted({
                 "stage_with_dcn": tuple(cfg.MODEL.RESNETS.STAGE_WITH_DCN),
                 "num_groups": cfg.MODEL.RESNETS.NUM_GROUPS,
