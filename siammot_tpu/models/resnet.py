@@ -42,6 +42,7 @@ class ResNetBottleneck(nn.Module):
     stride_in_1x1: bool = True
     with_dcn: bool = False
     use_downsample: bool = False
+    conv_matmul: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -63,7 +64,8 @@ class ResNetBottleneck(nn.Module):
                              name="conv2")(out)
         else:
             out = conv(self.bottleneck_channels, 3, s3, self.dilation,
-                       groups=self.num_groups, name="conv2")(out)
+                       groups=self.num_groups, name="conv2",
+                       matmul=self.conv_matmul)(out)
         out = nn.relu(FrozenBN(self.bottleneck_channels, name="bn2")(out))
         out = conv(self.out_channels, 1, name="conv3")(out)
         out = FrozenBN(self.out_channels, name="bn3")(out)
@@ -80,6 +82,9 @@ class ResNet(nn.Module):
     width_per_group: int = 64
     stride_in_1x1: bool = True
     stage_with_dcn: Sequence[bool] = (False,) * 4
+    # stages (DLA numbering: 2..5 = output strides 4/8/16/32, i.e. resnet
+    # stage s maps to entry s+1) whose 3x3s run as explicit MXU matmuls
+    matmul_stages: Sequence[int] = ()
 
     @nn.compact
     def __call__(self, x):
@@ -102,6 +107,7 @@ class ResNet(nn.Module):
                     num_groups=self.num_groups,
                     stride_in_1x1=self.stride_in_1x1,
                     with_dcn=self.stage_with_dcn[stage - 1],
+                    conv_matmul=(stage + 1) in self.matmul_stages,
                     use_downsample=(b == 0 and in_channels != out_channels),
                     name=f"layer{stage}_{b}")(x)
             in_channels = out_channels
@@ -120,7 +126,7 @@ RESNET_VARIANTS = {
 def build_resnet(conv_body: str, stage_with_dcn=(False,) * 4,
                  num_groups: int = 1, width_per_group: int = 64,
                  stride_in_1x1: bool = True, stem_channels: int = 64,
-                 res2_out_channels: int = 256) -> ResNet:
+                 res2_out_channels: int = 256, matmul_stages=()) -> ResNet:
     if conv_body not in RESNET_VARIANTS:
         raise KeyError(f"unknown backbone {conv_body}; "
                        f"choices: {sorted(RESNET_VARIANTS)}")
@@ -128,4 +134,5 @@ def build_resnet(conv_body: str, stage_with_dcn=(False,) * 4,
                   num_groups=num_groups, width_per_group=width_per_group,
                   stride_in_1x1=stride_in_1x1, stem_channels=stem_channels,
                   res2_out_channels=res2_out_channels,
+                  matmul_stages=tuple(matmul_stages),
                   **RESNET_VARIANTS[conv_body])

@@ -105,6 +105,7 @@ class SiamMOTNet(nn.Module):
         if self.conv_body.startswith("R-"):
             from .resnet import build_resnet
             self.body = build_resnet(self.conv_body,
+                                     matmul_stages=self.matmul_stages,
                                      **dict(self.resnet_opts))
         else:
             self.body = build_dla(self.conv_body, self.stage_with_dcn,

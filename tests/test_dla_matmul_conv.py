@@ -65,3 +65,20 @@ def test_dla_matmul_stages_same_outputs(rng):
         np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
                                    rtol=1e-4, atol=1e-4,
                                    err_msg=f"level {i}")
+
+
+def test_resnet_matmul_stages_same_outputs(rng):
+    """ResNet ladder: matmul_stages (DLA numbering 2..5) leaves the
+    feature maps unchanged from identical params."""
+    from siammot_tpu.models.resnet import build_resnet
+
+    plain = build_resnet("R-50-FPN")
+    fast = build_resnet("R-50-FPN", matmul_stages=(4, 5))
+    x = jnp.asarray(rng.randn(1, 64, 96, 3).astype(np.float32))
+    params = plain.init(jax.random.PRNGKey(2), x)
+    a = plain.apply(params, x)
+    b = fast.apply(params, x)
+    for i, (fa, fb) in enumerate(zip(a, b)):
+        np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"level {i}")
