@@ -87,6 +87,12 @@ def main():
     from siammot_tpu.utils.checkpoint import Checkpointer
 
     cfg = get_cfg()
+    # SIAMMOT_BENCH_OPTS="TPU.CONV_MATMUL_STAGES (4,5,6) ..." — same
+    # KEY VALUE pair syntax as the train/test CLI opts; lets on-chip
+    # A/Bs toggle TPU.* levers under otherwise-identical bench conditions
+    opts = os.environ.get("SIAMMOT_BENCH_OPTS", "").split()
+    if opts:
+        cfg.merge_from_list(opts)
     cfg.freeze()
     model = SiamMOT(cfg)
 

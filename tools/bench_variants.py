@@ -60,6 +60,9 @@ def make_cfg(body: str):
         if dcn:
             cfg.MODEL.RESNETS.STAGE_WITH_DCN = (False, True, True, True)
         cfg.TPU.S2D_STEM = False
+    opts = os.environ.get("SIAMMOT_BENCH_OPTS", "").split()
+    if opts:
+        cfg.merge_from_list(opts)
     cfg.freeze()
     return cfg
 
