@@ -14,6 +14,8 @@ bilinear gather of the 9 deformed taps followed by one [9C -> C'] matmul
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -120,9 +122,78 @@ def deform_sample_patch(x: jnp.ndarray, coords_y: jnp.ndarray,
     return sampled.astype(x.dtype).reshape(bs, ho, wo, t, c)
 
 
+def _shiftwin_sampled(x: jnp.ndarray, offsets: jnp.ndarray, kh: int, kw: int,
+                      stride: int, dilation: int, r: int) -> jnp.ndarray:
+    """Gather-free deformable sampling over a static shift window.
+
+    Decomposes each bilinear sample into contributions from integer
+    shifts ``s`` of the tap's static position:
+
+        sampled[p, t] = sum_{sy, sx in [-r, r+1]} wy[p,t,sy] * wx[p,t,sx]
+                        * x[base(p) + tap(t) + (sy, sx)]
+
+    where ``wy``/``wx`` carry the two bilinear corner weights at the
+    floor/floor+1 rows (separably in y and x).  Every term is a STATIC
+    strided slice of the zero-padded input FMA'd with a data-dependent
+    weight map — pure vector math the TPU VPU streams at full tilt, no
+    gathers at all.  Exact (bit-matching :func:`deform_sample`, which
+    zero-weights out-of-bounds corners — zero padding reproduces that)
+    whenever every offset's integer part lies in [-r, r]; the caller
+    guards with that predicate and falls back to the gather path.
+
+    Cost grows as (2r+2)^2 weighted [Ho, Wo, C] maps per tap, so keep r
+    small (trained DCNv1 offsets concentrate within a couple of pixels;
+    the zero-initialized offset conv starts them at exactly 0).
+    """
+    b, h, w, c = x.shape
+    pad = dilation * (kh - 1) // 2
+    bo, ho, wo, _ = offsets.shape
+    t = kh * kw
+    off = offsets.reshape(b, ho, wo, t, 2)
+    oy, ox = off[..., 0], off[..., 1]
+    y0 = jnp.floor(oy)
+    x0 = jnp.floor(ox)
+    fy = (oy - y0).astype(x.dtype)
+    fx = (ox - x0).astype(x.dtype)
+    iy = y0.astype(jnp.int32)
+    ix = x0.astype(jnp.int32)
+
+    lo = pad + r
+    hi = pad + r + 1
+    xp = jnp.pad(x, ((0, 0), (lo, hi), (lo, hi), (0, 0)))
+
+    def tapview(abs_y, abs_x):
+        # static strided [B, Ho, Wo, C] view at displacement (abs_y, abs_x)
+        # relative to the un-padded origin (indices into xp are +lo)
+        return jax.lax.slice(
+            xp, (0, abs_y + lo, abs_x + lo, 0),
+            (b, abs_y + lo + (ho - 1) * stride + 1,
+             abs_x + lo + (wo - 1) * stride + 1, c),
+            (1, stride, stride, 1))
+
+    one = jnp.ones((), x.dtype)
+    sampled = []
+    for ti in range(t):
+        dy = (ti // kw) * dilation - pad
+        dx = (ti % kw) * dilation - pad
+        iy_t, ix_t = iy[..., ti], ix[..., ti]
+        fy_t, fx_t = fy[..., ti], fx[..., ti]
+        acc = jnp.zeros((b, ho, wo, c), jnp.float32)
+        for sy in range(-r, r + 2):
+            wy = ((one - fy_t) * (iy_t == sy) + fy_t * (iy_t == sy - 1))
+            for sx in range(-r, r + 2):
+                wx = ((one - fx_t) * (ix_t == sx)
+                      + fx_t * (ix_t == sx - 1))
+                wgt = (wy * wx)[..., None]
+                acc = acc + (wgt * tapview(dy + sy, dx + sx)
+                             ).astype(jnp.float32)
+        sampled.append(acc.astype(x.dtype))
+    return jnp.stack(sampled, axis=3)                    # [B,Ho,Wo,T,C]
+
+
 def deform_conv2d(x: jnp.ndarray, offsets: jnp.ndarray, kernel: jnp.ndarray,
                   stride: int = 1, dilation: int = 1,
-                  impl: str = "auto") -> jnp.ndarray:
+                  impl: str = "auto", shift_r: int = 2) -> jnp.ndarray:
     """DCNv1 forward.
 
     Args:
@@ -132,8 +203,13 @@ def deform_conv2d(x: jnp.ndarray, offsets: jnp.ndarray, kernel: jnp.ndarray,
       kernel: [kh, kw, C, C'] conv kernel (HWIO).
       stride/dilation: as a padded SAME-style 3x3 conv (pad = dilation).
       impl: "gather4" (reference ladder: four corner row gathers),
-        "patch" (single 2x2-patch gather per sample), or "auto"
-        (= "patch", the measured-fastest exact path on TPU).
+        "patch" (single 2x2-patch gather per sample), "shiftwin"
+        (gather-free static shift window of radius ``shift_r`` with a
+        lax.cond fallback to "patch" for offsets outside the window —
+        still exact), or "auto" (environment override ``SIAMMOT_DCN_IMPL``
+        if set, else "shiftwin").
+      shift_r: shift-window radius (exact-fast-path coverage: every
+        offset's integer part in [-r, r]); cost per tap grows (2r+2)^2.
 
     Returns [B, Ho, Wo, C'].
     """
@@ -141,6 +217,8 @@ def deform_conv2d(x: jnp.ndarray, offsets: jnp.ndarray, kernel: jnp.ndarray,
     kh, kw, _, co = kernel.shape
     pad = dilation * (kh - 1) // 2
     bo, ho, wo, _ = offsets.shape
+    if impl == "auto":
+        impl = os.environ.get("SIAMMOT_DCN_IMPL", "shiftwin")
 
     base_y = jnp.arange(ho) * stride - pad
     base_x = jnp.arange(wo) * stride - pad
@@ -155,14 +233,28 @@ def deform_conv2d(x: jnp.ndarray, offsets: jnp.ndarray, kernel: jnp.ndarray,
     cy = gy[None] + off[..., 0]                           # [B, Ho, Wo, T]
     cx = gx[None] + off[..., 1]
 
+    def matmul(sampled):
+        # one clean [N, T*C] @ [T*C, Co] MXU matmul (not a rank-5 einsum)
+        out = jax.lax.dot_general(
+            sampled.reshape(b * ho * wo, kh * kw * c),
+            kernel.reshape(kh * kw * c, co),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return out.astype(x.dtype).reshape(b, ho, wo, co)
+
+    if impl == "shiftwin":
+        io_y = jnp.floor(off[..., 0]).astype(jnp.int32)
+        io_x = jnp.floor(off[..., 1]).astype(jnp.int32)
+        in_win = ((jnp.min(io_y) >= -shift_r) & (jnp.max(io_y) <= shift_r)
+                  & (jnp.min(io_x) >= -shift_r)
+                  & (jnp.max(io_x) <= shift_r))
+        return jax.lax.cond(
+            in_win,
+            lambda: matmul(_shiftwin_sampled(
+                x, offsets, kh, kw, stride, dilation, shift_r)),
+            lambda: matmul(deform_sample_patch(x, cy, cx)))
+
     sample = deform_sample if impl == "gather4" else deform_sample_patch
-    sampled = sample(x, cy, cx)                           # [B,Ho,Wo,T,C]
-    # one clean [N, T*C] @ [T*C, Co] MXU matmul (not a rank-5 einsum)
-    out = jax.lax.dot_general(
-        sampled.reshape(b * ho * wo, kh * kw * c),
-        kernel.reshape(kh * kw * c, co),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    return out.astype(x.dtype).reshape(b, ho, wo, co)
+    return matmul(sample(x, cy, cx))
 
 
 class DeformConv(nn.Module):

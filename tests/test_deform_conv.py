@@ -99,3 +99,49 @@ def test_patch_impl_gradients_match(rng):
             x, off, k)
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_shiftwin_impl_matches_gather4(rng):
+    """Shift-window ladder rung: gather-free static-shift sampling equals
+    the 4-corner reference (a) on the fast path (offsets within the
+    window), (b) through the lax.cond fallback (offsets outside it), and
+    (c) at image borders where zero padding must reproduce the oob
+    zero-weight convention."""
+    for (hh, ww, cc, co, stride, dil, scale, r) in [
+            (9, 11, 8, 16, 1, 1, 1.4, 2),   # fast path, generic
+            (8, 8, 4, 4, 2, 1, 1.4, 2),     # fast path, stride 2
+            (10, 7, 4, 8, 1, 2, 1.4, 2),    # fast path, dilation 2
+            (9, 11, 8, 16, 1, 1, 6.0, 2),   # fallback (oob window)
+            (6, 6, 4, 4, 1, 1, 0.9, 1),     # r=1 tight window, borders
+    ]:
+        ho = -(-hh // stride)
+        wo = -(-ww // stride)
+        x = jnp.asarray(rng.randn(2, hh, ww, cc).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, cc, co).astype(np.float32))
+        off = jnp.asarray(
+            (rng.randn(2, ho, wo, 18) * scale).astype(np.float32))
+        a = deform_conv2d(x, off, k, stride=stride, dilation=dil,
+                          impl="gather4")
+        b = jax.jit(lambda x, off, k: deform_conv2d(
+            x, off, k, stride=stride, dilation=dil, impl="shiftwin",
+            shift_r=r))(x, off, k)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_shiftwin_gradients_match(rng):
+    """Fast path backprop equals the reference formulation's."""
+    x = jnp.asarray(rng.randn(1, 7, 9, 4).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 4, 4).astype(np.float32))
+    off = jnp.asarray((rng.randn(1, 7, 9, 18) * 1.2).astype(np.float32))
+
+    def loss(impl, x, off, k):
+        return jnp.sum(deform_conv2d(x, off, k, impl=impl) ** 2)
+
+    for argnum in (0, 1, 2):
+        ga = jax.grad(lambda *a: loss("gather4", *a), argnums=argnum)(
+            x, off, k)
+        gb = jax.grad(lambda *a: loss("shiftwin", *a), argnums=argnum)(
+            x, off, k)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-4, atol=1e-4)

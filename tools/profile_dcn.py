@@ -191,11 +191,18 @@ def main():
             "gather4": jax.jit(partial(deform_conv2d, impl="gather4")),
             "patch": jax.jit(partial(deform_conv2d, impl="patch")),
             "patch_local": jax.jit(dcn_patch_gather),
+            # gather-free static shift window (r=2); measured twice: on
+            # its fast path (small offsets) and through the lax.cond
+            # fallback (these randn*2 offsets always exceed the window)
+            "shiftwin_fb": jax.jit(partial(deform_conv2d, impl="shiftwin",
+                                           shift_r=2)),
         }
         if h * w <= 4000:
             fns["onehot"] = jax.jit(dcn_onehot)
 
+        off_small = off * 0.4                 # |off| well inside r=2
         ref = fns["gather4"](x, off, k)
+        ref_small = fns["gather4"](x, off_small, k)
         line = [f"{name} x{n_convs:2d}"]
         for label, fn in fns.items():
             out = fn(x, off, k)
@@ -205,6 +212,13 @@ def main():
             total.setdefault(label, 0.0)
             total[label] += ms * n_convs
             line.append(f"{label} {ms:7.3f} ms (err {err:.1e})")
+        out = fns["shiftwin_fb"](x, off_small, k)
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                    - ref_small.astype(jnp.float32))))
+        ms = timeit(fns["shiftwin_fb"], x, off_small, k)
+        total.setdefault("shiftwin", 0.0)
+        total["shiftwin"] += ms * n_convs
+        line.append(f"shiftwin {ms:7.3f} ms (err {err:.1e})")
         # cost split of the current path
         g = jax.jit(gather_only)
         sampled = g(x, off)
