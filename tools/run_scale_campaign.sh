@@ -11,7 +11,11 @@
 set -e
 cd "$(dirname "$0")/.."
 SLICE=${1:-3000}
-ROOT=${2:-/tmp/train_scale25k}
+# checkpoints live inside the repo tree: /tmp is wiped between rounds
+# (round-3's HARD checkpoints vanished) and the campaign must resume
+# across sessions; ckpts/ is gitignored (only a final fixture would be
+# committed, deliberately)
+ROOT=${2:-/root/repo/ckpts/train_scale25k}
 DIR="$ROOT/DLA34_box_EMM_SYNCROWD_train_fbox_scale25k"
 TOTAL=25000
 
