@@ -119,9 +119,15 @@ def _run_wave(cfg, model, params, step, wave, transforms, dataset_root,
     # given-detection template for dead/missing lanes (all-invalid)
     empty_given = entities_to_boxes([], GIVEN_DETECTION_CAPACITY, (1.0, 1.0)) \
         if use_given else None
-    while any(alive):
-        batch = np.zeros((n_streams, 1, pad_hw[0], pad_hw[1], 3), batch_dtype)
+
+    def assemble(fidx):
+        """Read one frame per live stream; returns (batch, givens,
+        had_frame mask) and updates ``alive``/``n_net_frames``."""
+        nonlocal n_net_frames
+        batch = np.zeros((n_streams, 1, pad_hw[0], pad_hw[1], 3),
+                         batch_dtype)
         givens = [empty_given] * n_streams if use_given else None
+        had = [False] * n_streams
         for i, src in enumerate(sources):
             if not alive[i]:
                 continue
@@ -130,27 +136,46 @@ def _run_wave(cfg, model, params, step, wave, transforms, dataset_root,
                 alive[i] = False
                 continue
             batch[i] = item[0]
+            had[i] = True
             n_net_frames += 1
             if use_given:
                 sid, sample = metas[i]
                 pub = given_detections.get(sid)
-                ents = pub.get_entities_for_frame_num(frame_idx) \
+                ents = pub.get_entities_for_frame_num(fidx) \
                     if pub is not None else []
                 givens[i] = entities_to_boxes(
                     ents, GIVEN_DETECTION_CAPACITY,
                     (in_wh[0] / sample.width, in_wh[1] / sample.height))
-        if not any(alive):
-            break
+        return batch, givens, had
+
+    # one-frame upload pipeline: the host->device batch transfer of frame
+    # t+1 rides the tunnel while the device executes step t (a worker
+    # thread because a blocking transfer in the loop serializes with
+    # compute); per-frame outputs are unchanged — only timing moves
+    from concurrent.futures import ThreadPoolExecutor
+    uploader = ThreadPoolExecutor(max_workers=1)
+
+    def submit(fidx):
+        batch, givens, had = assemble(fidx)
+        if not any(had):
+            return None
+        return uploader.submit(jnp.asarray, batch), givens, had
+
+    pending = submit(0)
+    while pending is not None:
+        fut, givens, had = pending
+        pending = submit(frame_idx + 1)
         if use_given:
-            out, states = step(params, jnp.asarray(batch), states,
+            out, states = step(params, fut.result(), states,
                                _stack_boxes(givens))
         else:
-            out, states = step(params, jnp.asarray(batch), states)
+            out, states = step(params, fut.result(), states)
         for i, (sid, sample) in enumerate(metas):
-            if alive[i] and frame_idx < len(sample):
+            if had[i] and frame_idx < len(sample):
                 outs[sid].append((frame_idx, jax.tree.map(
                     lambda x, i=i: x[i], out)))
         frame_idx += 1
+    uploader.shutdown(wait=False)
 
     results = {}
     for i, (sid, sample) in enumerate(metas):

@@ -42,6 +42,13 @@ def _small_cfg():
     # sequential conv batching differ at ~1e-2 px, which is not what this
     # test is about
     cfg.TPU.COMPUTE_DTYPE = "float32"
+    # random-weight box heads score everything ~0.5 (2-class softmax of
+    # near-zero logits), which can never clear the production 0.6 start
+    # threshold — lower the solver gates so tracks actually form and the
+    # stream-identity checks exercise id bookkeeping, not empty outputs
+    cfg.MODEL.TRACK_HEAD.START_TRACK_THRESH = 0.45
+    cfg.MODEL.TRACK_HEAD.TRACK_THRESH = 0.3
+    cfg.MODEL.TRACK_HEAD.RESUME_TRACK_THRESH = 0.3
     return cfg
 
 
