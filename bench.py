@@ -122,6 +122,8 @@ def main():
         params, trained = try_restore(_unflatten(flat), params)
 
     step = model.jit_step(image_size=(W, H))
+    print(f"[bench] params ready (trained={trained}); rendering frames",
+          file=sys.stderr, flush=True)
 
     if trained:
         frames = [jnp.asarray(f) for f in render_scene(16, hp)]
@@ -135,9 +137,11 @@ def main():
     # NOTE: sync via a tiny host fetch — block_until_ready does not block
     # on the tunneled axon platform.
     state = model.empty_state()
+    print("[bench] compiling + warmup", file=sys.stderr, flush=True)
     for i in range(10 if trained else 1):
         out, state = step(params, frames[i % len(frames)], state)
     _ = int(state.frame_idx)
+    print("[bench] warm; timing", file=sys.stderr, flush=True)
     occ_warm = int(np.asarray(state.active).sum())
 
     n_iters = 50
