@@ -156,23 +156,39 @@ def spawn(num_processes: int, n_local: int, timeout: int = 1800,
         extra += ["--ckpt-dir", ckpt_dir, "--save-at", str(save_at)]
     if resume:
         extra += ["--resume"]
-    procs = [subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "--child",
-         "--n-local", str(n_local), "--num-processes", str(num_processes),
-         "--process-id", str(i), "--coordinator", coordinator] + extra,
-        env=env, cwd=REPO, stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT, text=True)
-        for i in range(num_processes)]
-    outs = [p.communicate(timeout=timeout)[0] for p in procs]
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        if p.returncode != 0:
-            raise RuntimeError(
-                f"process {i}/{num_processes} failed:\n{out[-4000:]}")
-    for out in outs:
-        for line in out.splitlines():
-            if line.startswith("MULTIHOST_LOSSES "):
-                return json.loads(line.split(" ", 1)[1])
-    raise RuntimeError("no MULTIHOST_LOSSES line:\n" + outs[0][-4000:])
+    def attempt():
+        procs = [subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child",
+             "--n-local", str(n_local),
+             "--num-processes", str(num_processes),
+             "--process-id", str(i), "--coordinator", coordinator] + extra,
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+            for i in range(num_processes)]
+        outs = [p.communicate(timeout=timeout)[0] for p in procs]
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"process {i}/{num_processes} failed:\n{out[-4000:]}")
+        for out in outs:
+            for line in out.splitlines():
+                if line.startswith("MULTIHOST_LOSSES "):
+                    return json.loads(line.split(" ", 1)[1])
+        raise RuntimeError("no MULTIHOST_LOSSES line:\n" + outs[0][-4000:])
+
+    try:
+        return attempt()
+    except RuntimeError as e:
+        # Gloo context init gives peers 30 s to arrive (no public knob);
+        # on this one-core host concurrent child tracing/compilation can
+        # skew arrival past that.  A single retry rides the now-warm
+        # persistent compile cache, so both children reach the first
+        # collective in seconds.  Loss assertions are unaffected.
+        rendezvous = ("Gloo context initialization failed" in str(e)
+                      or "DEADLINE_EXCEEDED" in str(e))
+        if not rendezvous or num_processes == 1:
+            raise
+        return attempt()
 
 
 def _free_port() -> int:
