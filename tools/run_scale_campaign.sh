@@ -32,8 +32,12 @@ if [ "$CUR" -ge "$TOTAL" ]; then
   echo "campaign complete at $CUR iters"; exit 0
 fi
 echo "=== campaign slice: $CUR -> $TARGET (of $TOTAL) $(date -u) ==="
+# ACCUMULATION_STEPS 8 -> microbatch 2 clips: mirrors the reference's
+# 8-GPU x 2-clip layout exactly (one optimizer step per 16-clip batch)
+# and reuses the round-3 session's compiled train step (same shapes)
 python tools/train_net.py \
   --config-file configs/dla/DLA_34_FPN_EMM_SYNCROWD_SCALE.yaml \
   --train-dir "$ROOT" --model-suffix scale25k \
-  DATASETS.ROOT_DIR /tmp SOLVER.MAX_ITER "$TARGET"
+  DATASETS.ROOT_DIR /tmp SOLVER.MAX_ITER "$TARGET" \
+  SOLVER.ACCUMULATION_STEPS 8
 echo "=== slice done at $TARGET $(date -u) ==="
