@@ -207,7 +207,10 @@ def deform_conv2d(x: jnp.ndarray, offsets: jnp.ndarray, kernel: jnp.ndarray,
         (gather-free static shift window of radius ``shift_r`` with a
         lax.cond fallback to "patch" for offsets outside the window —
         still exact), or "auto" (environment override ``SIAMMOT_DCN_IMPL``
-        if set, else "shiftwin").
+        if set, else "patch" — measured on chip 2026-08-20: full-model
+        DLA-102-DCN runs 12.9 FPS with shiftwin vs 21.6 with the gather
+        formulations; the (2r+2)^2-maps-per-tap VPU cost dominates at
+        production shapes, so the shift window loses outside tiny C).
       shift_r: shift-window radius (exact-fast-path coverage: every
         offset's integer part in [-r, r]); cost per tap grows (2r+2)^2.
 
@@ -218,7 +221,7 @@ def deform_conv2d(x: jnp.ndarray, offsets: jnp.ndarray, kernel: jnp.ndarray,
     pad = dilation * (kh - 1) // 2
     bo, ho, wo, _ = offsets.shape
     if impl == "auto":
-        impl = os.environ.get("SIAMMOT_DCN_IMPL", "shiftwin")
+        impl = os.environ.get("SIAMMOT_DCN_IMPL", "patch")
 
     base_y = jnp.arange(ho) * stride - pad
     base_x = jnp.arange(wo) * stride - pad
