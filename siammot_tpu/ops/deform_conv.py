@@ -76,6 +76,10 @@ def deform_sample_patch(x: jnp.ndarray, coords_y: jnp.ndarray,
     corners get weight 0, so no gather fill mode is needed.
     """
     b, h, w, c = x.shape
+    # the clip(., 0, H-2) patch-start clamp below needs H, W >= 2; with a
+    # 1-pixel map the bound goes negative and PROMISE_IN_BOUNDS gathers
+    # would read out of bounds silently (static shapes: trace-time check)
+    assert h >= 2 and w >= 2, f"deform_sample_patch needs H,W>=2, got {h}x{w}"
     y0 = jnp.floor(coords_y)
     x0 = jnp.floor(coords_x)
     fy = (coords_y - y0).astype(x.dtype)
@@ -222,6 +226,10 @@ def deform_conv2d(x: jnp.ndarray, offsets: jnp.ndarray, kernel: jnp.ndarray,
     bo, ho, wo, _ = offsets.shape
     if impl == "auto":
         impl = os.environ.get("SIAMMOT_DCN_IMPL", "patch")
+    if impl not in ("gather4", "patch", "shiftwin"):
+        raise ValueError(
+            f"unknown DCN impl {impl!r} (from SIAMMOT_DCN_IMPL?); "
+            "expected one of 'gather4', 'patch', 'shiftwin'")
 
     base_y = jnp.arange(ho) * stride - pad
     base_x = jnp.arange(wo) * stride - pad

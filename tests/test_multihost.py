@@ -38,9 +38,38 @@ def test_two_process_run_with_checkpoint_resume_matches_single_process():
         # the host can actually co-schedule the processes.
         if ("Gloo context initialization failed" in str(e)
                 or "DEADLINE_EXCEEDED" in str(e)):
+            # skip counter (VERDICT r4 item 8): append to the stamp log so
+            # "skipped since <date>" is visible in-repo, not silent
+            import datetime
+            import platform
+            log = os.path.join(os.path.dirname(__file__), "..", "readme",
+                               "multihost_stamp.md")
+            if os.path.exists(log):
+                with open(log, "a") as f:
+                    f.write(f"- SKIP {datetime.datetime.now(datetime.timezone.utc):%Y-%m-%d %H:%M}"
+                            f" UTC on {platform.node()}"
+                            f" ({os.cpu_count()} cpus): gloo rendezvous"
+                            " missed\n")
             pytest.skip("1-core host missed gloo's 30s two-process "
                         "rendezvous twice; rerun on an idle/multi-core "
                         "host: " + str(e).splitlines()[0])
         raise
     assert len(single) == len(multi) == 4
     assert len(resumed) == 2
+    # green stamp (VERDICT r4 item 8): record when/where this actually
+    # ran to completion, so the gloo skip above can't silently become
+    # "never runs" — readme/multihost_stamp.md is committed when green.
+    import datetime
+    import platform
+    stamp = os.path.join(os.path.dirname(__file__), "..", "readme",
+                         "multihost_stamp.md")
+    with open(stamp, "w") as f:
+        f.write(
+            "# 2-process multihost test — last green run\n\n"
+            f"- date: {datetime.datetime.now(datetime.timezone.utc):%Y-%m-%d %H:%M} UTC\n"
+            f"- host: {platform.node()} ({os.cpu_count()} cpus)\n"
+            "- test: tests/test_multihost.py::"
+            "test_two_process_run_with_checkpoint_resume_matches_single_process\n"
+            "- assertions: 2-process losses == 1-process losses (4 steps), "
+            "bitwise, incl. mid-run all-process checkpoint + rank-0-only "
+            "restore broadcast (2 resumed steps)\n")

@@ -84,96 +84,23 @@ def amp_time(fn, *args, perturb=None, n=N_AMP, reps=3):
 
 def main():
     from siammot_tpu.configs.defaults import get_cfg
-    from siammot_tpu.models.siammot import SiamMOT, UPSCALE
-    from siammot_tpu.models.emm import (decode_response_fused,
-                                        pool_search_region, pool_template)
-    from siammot_tpu.ops.roi_align_windowed import pack_levels
-    from siammot_tpu.models.rpn import select_proposals
-    from siammot_tpu.models.box_head import pool_levels
-    from siammot_tpu.core.structures import Boxes, concat_boxes
-    from siammot_tpu.models.track_solver import solve
+    from siammot_tpu.models.siammot import SiamMOT
+    from stage_defs import build_stages
 
     cfg = get_cfg()
     cfg.freeze()
     model = SiamMOT(cfg)
     h, w = 736, 1280
     params = model.init_params(jax.random.PRNGKey(0), (h, w))
-    k = model.max_tracks
-    net, ecfg, scfg = model.net, model.ecfg, model.scfg
 
-    image_u8 = jnp.asarray((np.random.rand(1, h, w, 3) * 255).astype(np.uint8))
-    image = jnp.asarray(np.random.rand(1, h, w, 3).astype(np.float32))
+    stages, extras = build_stages(model, params, h, w)
+    image_u8, state = extras["image_u8"], extras["state"]
 
     rows = []
-
-    def stage(name, fn, *args, perturb=None, n=N_AMP):
-        t = amp_time(fn, *args, perturb=perturb, n=n)
+    for name, fn, args, perturb in stages:
+        t = amp_time(fn, *args, perturb=perturb)
         rows.append((name, t))
         print(f"{name:26s} {t:8.3f} ms", flush=True)
-        return fn(*args)
-
-    from siammot_tpu.models.siammot import normalize_images
-    stage("normalize u8",
-          lambda x: normalize_images(x, net.pixel_mean, net.pixel_std,
-                                     net.to_bgr255), image_u8)
-
-    stage("cast params -> bf16", lambda p: model.cast_params(p), params,
-          perturb="first-leaf:0")
-
-    feats = stage("backbone+fpn",
-                  lambda p, x: net.apply(p, x, method=net.features), params,
-                  image, perturb=(1,))
-
-    logits, deltas = stage(
-        "rpn maps", lambda p, f: net.apply(p, f, method=net.rpn_maps),
-        params, feats, perturb=(1,))
-
-    anchors = model.anchors_for((h, w))
-    pb, ps, pv = stage(
-        "proposal select+nms",
-        lambda l, d: select_proposals(l, d, anchors, (w, h), model.rcfg_test),
-        logits, deltas)
-
-    pack = stage("pack levels",
-                 lambda f: pack_levels(f[:4], model.net.box_scales), feats)
-
-    rois = jnp.concatenate([pb[0], jnp.zeros((k, 4))], axis=0)
-    levels = pool_levels(rois, 4)
-    stage("box head (pool+mlp)",
-          lambda p, f, r, lv, pk: net.apply(p, f, r[None], lv[None], pk,
-                                            method=net.box_predict),
-          params, feats, rois, levels, pack, perturb=(2,))
-
-    state = model.empty_state()
-    sr_feats = stage(
-        "emm SR pool",
-        lambda pk, b, sr: pool_search_region(
-            None, b, sr, jnp.zeros((k,), jnp.int32), ecfg, pack=pk,
-            window=model.window_sr),
-        pack, state.boxes, state.sr, perturb=(1, 2))
-
-    cls_l, ctr_l, reg_l = stage(
-        "emm xcorr+predict",
-        lambda p, s, t: net.apply(p, s, t, method=net.emm_predict),
-        params, sr_feats, state.template, perturb=(1, 2))
-
-    stage("fused decode",
-          lambda cl_, ct_, rg_, sr, b: decode_response_fused(
-              cl_, ct_, rg_, sr, b, ecfg, UPSCALE),
-          cls_l, ctr_l, reg_l, state.sr, state.boxes)
-
-    dets = Boxes.empty(100)
-    tracks = Boxes(boxes=jnp.zeros((k, 4)), scores=jnp.zeros((k,)),
-                   ids=state.ids, labels=state.labels,
-                   valid=jnp.zeros((k,), bool))
-    allrows = concat_boxes(dets, tracks)
-    stage("solver", partial(solve, scfg=scfg), state, allrows)
-
-    stage("template pool",
-          lambda pk, b: pool_template(None, b, jnp.zeros((k,), jnp.int32),
-                                      ecfg, pack=pk,
-                                      window=model.window_template),
-          pack, state.boxes, perturb=(1,))
 
     total = sum(t for _, t in rows)
     print(f"{'SUM of stages':26s} {total:8.3f} ms")

@@ -1,19 +1,25 @@
 #!/usr/bin/env python3
-"""Per-stage roofline: measured ms vs the stage's compute/memory bound.
+"""Full-step roofline: measured ms vs each stage's compute/memory bound.
 
-For each sub-stage of the inference step this lowers the stage jit,
-reads XLA's cost analysis (flops, bytes accessed), and compares the
-measured time against the speed-of-light bound on a v5e chip:
+For EVERY sub-stage of the inference step (the shared decomposition in
+``tools/stage_defs.py`` — normalize, param cast, backbone+fpn, rpn maps,
+proposal select+NMS, pack, box head, EMM pool/xcorr+predict/decode,
+solver, template pool) this lowers the stage jit, reads XLA's cost
+analysis (flops, bytes accessed), and compares the measured time against
+the speed-of-light bound on a v5e chip:
 
     bound_ms = max(flops / PEAK_FLOPS, bytes / PEAK_BW)
 
 A stage within ~1.3x of its bound is spent; a stage far above it names
-the next lever (VERDICT r3 item 1's "prove the ceiling" deliverable).
+the next lever (VERDICT r3/r4 item 1's "prove the ceiling" deliverable).
 
-On the chip this measures times itself; `--times k=v,...` (ms) can
-override/supply timings measured elsewhere (e.g. from
-tools/profile_step.py, whose isolated jits carry a 2.5-4 ms dispatch
-floor each — pass FULL-step-attributed numbers for honest ratios).
+Timing uses the amplified-scan trick from ``tools/profile_amplified.py``
+(xN inside ONE jit so the tunnel's per-dispatch floor divides out);
+``--times k=v,...`` (ms) can still override/supply timings measured
+elsewhere.  Caveats printed with the table: the XLA cost model counts
+algorithmic bytes (no fusion credit), so %HBM can exceed what the chip
+actually moves; while_loop stages (NMS dynamic epilogue) serialize under
+the amplification scan.
 
 v5e peaks: 197 TFLOP/s bf16 / 394 TOPS int8, ~819 GB/s HBM.
 """
@@ -24,6 +30,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
@@ -36,23 +43,14 @@ PEAK_FLOPS = 197e12          # bf16 MXU
 PEAK_BW = 819e9              # HBM
 
 
-def analyze(jfn, *args):
-    c = jfn.lower(*args).compile()
+def analyze(fn, *args):
+    c = jax.jit(fn).lower(*args).compile()
     ca = c.cost_analysis()
     if isinstance(ca, list):   # older jax returns [dict]
         ca = ca[0]
+    ca = ca or {}
     return float(ca.get("flops", 0.0)), float(
         ca.get("bytes accessed", 0.0))
-
-
-def timeit(jfn, *args, iters=30):
-    out = jfn(*args)
-    _ = float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jfn(*args)
-    _ = float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
-    return (time.perf_counter() - t0) / iters * 1000.0
 
 
 def main():
@@ -66,59 +64,55 @@ def main():
 
     from siammot_tpu.configs.defaults import get_cfg
     from siammot_tpu.models.siammot import SiamMOT
+    from stage_defs import build_stages
+    from profile_amplified import amp_time
 
     cfg = get_cfg()
     cfg.freeze()
     model = SiamMOT(cfg)
     h, w = 736, 1280
     params = model.init_params(jax.random.PRNGKey(0), (h, w))
-    net = model.net
-    rng = np.random.RandomState(0)
-    image = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
 
-    stages = {}
-    feats_fn = jax.jit(lambda p, x: net.apply(p, x, method=net.features))
-    feats = feats_fn(params, image)
-    stages["backbone+fpn"] = (feats_fn, (params, image))
+    stages, extras = build_stages(model, params, h, w)
 
-    rpn_fn = jax.jit(lambda p, f: net.apply(p, f, method=net.rpn_maps))
-    _ = rpn_fn(params, feats)
-    stages["rpn maps"] = (rpn_fn, (params, feats))
-
-    k = model.max_tracks
-    state = model.empty_state()
-    from siammot_tpu.ops.roi_align_windowed import pack_levels
-    pack_fn = jax.jit(lambda f: pack_levels(f[:4], net.box_scales))
-    pack = pack_fn(feats)
-    from siammot_tpu.models.emm import pool_search_region
-    pool_fn = jax.jit(lambda pk, b, sr: pool_search_region(
-        None, b, sr, jnp.zeros((k,), jnp.int32), model.ecfg, pack=pk,
-        window=model.window_sr))
-    sr_feats = pool_fn(pack, state.boxes, state.sr)
-    emm_fn = jax.jit(lambda p, s, t: net.apply(p, s, t,
-                                               method=net.emm_predict))
-    _ = emm_fn(params, sr_feats, state.template)
-    stages["emm xcorr+predict"] = (emm_fn, (params, sr_feats,
-                                            state.template))
-
-    print(f"{'stage':20s} {'ms':>8s} {'GFLOP':>8s} {'TF/s':>7s} "
+    print(f"{'stage':22s} {'ms':>8s} {'GFLOP':>8s} {'TF/s':>7s} "
           f"{'%MXU':>6s} {'GB':>7s} {'GB/s':>7s} {'%HBM':>6s} "
           f"{'bound':>8s} {'x-over':>7s}")
-    for name, (jfn, a) in stages.items():
-        flops, bts = analyze(jfn, *a)
+    tot_ms = tot_bound = 0.0
+    for name, fn, a, perturb in stages:
+        flops, bts = analyze(fn, *a)
         if name in overrides:
             ms = float(overrides[name])
         elif args.no_measure:
             ms = float("nan")
         else:
-            ms = timeit(jfn, *a)
+            ms = amp_time(fn, *a, perturb=perturb)
         bound_ms = max(flops / PEAK_FLOPS, bts / PEAK_BW) * 1e3
-        print(f"{name:20s} {ms:8.3f} {flops/1e9:8.1f} "
+        if ms == ms:
+            tot_ms += ms
+            tot_bound += bound_ms
+        print(f"{name:22s} {ms:8.3f} {flops/1e9:8.1f} "
               f"{flops/ms/1e9 if ms else 0:7.1f} "
               f"{flops/ms/1e9/(PEAK_FLOPS/1e12)*100 if ms else 0:5.1f}% "
               f"{bts/1e9:7.3f} {bts/ms/1e6 if ms else 0:7.1f} "
               f"{bts/ms/1e6/(PEAK_BW/1e9)*100 if ms else 0:5.1f}% "
-              f"{bound_ms:8.3f} {ms/bound_ms if bound_ms else 0:7.2f}")
+              f"{bound_ms:8.3f} {ms/bound_ms if bound_ms else 0:7.2f}",
+              flush=True)
+    if tot_ms:
+        print(f"{'SUM of stages':22s} {tot_ms:8.3f}"
+              f"{'':51s} {tot_bound:8.3f} {tot_ms/tot_bound:7.2f}")
+
+    if not args.no_measure:
+        image_u8, state = extras["image_u8"], extras["state"]
+        step = model.jit_step(image_size=(w, h))
+        out, st = step(params, image_u8, state)
+        _ = int(st.frame_idx)
+        t0 = time.perf_counter()
+        for _ in range(30):
+            out, st = step(params, image_u8, st)
+        _ = int(st.frame_idx)
+        dt = (time.perf_counter() - t0) / 30 * 1000
+        print(f"{'FULL STEP':22s} {dt:8.3f} ms  ({1000.0/dt:.1f} FPS)")
 
 
 if __name__ == "__main__":
