@@ -121,6 +121,10 @@ def main():
             flat = {k: z[k].astype(np.float32) for k in z.files}
         params, trained = try_restore(_unflatten(flat), params)
 
+    # pre-cast to compute dtype once — the serving engines do the same
+    # (engine/inferencer.py); keeps the per-frame f32->bf16 param re-read
+    # (~0.5 ms at 720p, roofline r5) out of the step
+    params = jax.jit(model.cast_params)(params)
     step = model.jit_step(image_size=(W, H))
     print(f"[bench] params ready (trained={trained}); rendering frames",
           file=sys.stderr, flush=True)

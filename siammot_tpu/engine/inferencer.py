@@ -39,6 +39,11 @@ def do_inference(cfg, model, params, sample: DataSample, transforms=None,
     in_w, in_h = transforms.input_size(w0, h0)
     scale_back = (w0 / in_w, h0 / in_h)
 
+    # pre-cast params to the compute dtype ONCE: the in-step cast re-reads
+    # the full f32 tree every frame (~0.4 GB -> ~0.5 ms/frame at 720p,
+    # roofline r5); with bf16 leaves the in-step cast is an XLA no-op and
+    # the math is bitwise-identical (the step already ran all-bf16)
+    params = jax.jit(model.cast_params)(params)
     step = model.jit_step(image_size=(in_w, in_h))
     state = model.empty_state()
 

@@ -69,6 +69,9 @@ def do_inference_multistream(cfg, model, params, samples: list,
     """
     transforms = transforms or EvalTransform(cfg)
     use_given = bool(given_detections)
+    # pre-cast params to the compute dtype once (see inferencer.py: the
+    # in-step cast otherwise re-reads the f32 tree every frame)
+    params = jax.jit(model.cast_params)(params)
 
     groups = defaultdict(list)
     for sid, sample in samples:

@@ -33,6 +33,11 @@ N_AMP = 10
 def amp_time(fn, *args, perturb=None, n=N_AMP, reps=3):
     """Amplified timing: run fn xN inside one jit, per-iteration cost.
 
+    Uses a TWO-POINT slope — per-iter = (T(3n) - T(n)) / 2n — so the
+    per-dispatch tunnel floor cancels exactly instead of dividing by n
+    (sessions have shown 2.5-25 ms sync round-trips; at 25 ms a single
+    x10 run would still carry a 2.5 ms bias on every stage).
+
     ``perturb`` lists the arg indices whose leaves get the carry added
     (defeating CSE).  Perturbing a 20M-param tree costs ~3 ms/iter by
     itself, so param args must NOT be in the list; pass
@@ -53,33 +58,41 @@ def amp_time(fn, *args, perturb=None, n=N_AMP, reps=3):
             return x + c.astype(jnp.int32).astype(x.dtype)  # wraparound ok
         return x
 
-    @jax.jit
-    def run(eps, args):
-        def body(c, _):
-            a = list(args)
-            for i in perturb:
-                a[i] = jax.tree.map(lambda x: nudge(x, c), a[i])
-            if first_leaf_of is not None:
-                leaves, td = jax.tree.flatten(a[first_leaf_of])
-                leaves[0] = leaves[0] + c.astype(leaves[0].dtype)
-                a[first_leaf_of] = jax.tree.unflatten(td, leaves)
-            out = fn(*a)
-            s = sum(jnp.sum(l.astype(jnp.float32))
-                    for l in jax.tree.leaves(out)
-                    if hasattr(l, "astype"))
-            return (s * 1e-30).astype(jnp.float32), None
+    def make_run(length):
+        @jax.jit
+        def run(eps, args):
+            def body(c, _):
+                a = list(args)
+                for i in perturb:
+                    a[i] = jax.tree.map(lambda x: nudge(x, c), a[i])
+                if first_leaf_of is not None:
+                    leaves, td = jax.tree.flatten(a[first_leaf_of])
+                    leaves[0] = leaves[0] + c.astype(leaves[0].dtype)
+                    a[first_leaf_of] = jax.tree.unflatten(td, leaves)
+                out = fn(*a)
+                s = sum(jnp.sum(l.astype(jnp.float32))
+                        for l in jax.tree.leaves(out)
+                        if hasattr(l, "astype"))
+                return (s * 1e-30).astype(jnp.float32), None
 
-        c, _ = jax.lax.scan(body, eps, None, length=n)
-        return c
+            c, _ = jax.lax.scan(body, eps, None, length=length)
+            return c
+        return run
 
     eps = jnp.float32(0.0)
-    _ = float(run(eps, args))
-    best = float("inf")
-    for _i in range(reps):
-        t0 = time.perf_counter()
-        _ = float(run(eps, args))
-        best = min(best, (time.perf_counter() - t0) / n)
-    return best * 1000.0
+
+    def best_of(run):
+        _ = float(run(eps, args))          # warm/compile
+        best = float("inf")
+        for _i in range(reps):
+            t0 = time.perf_counter()
+            _ = float(run(eps, args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_short = best_of(make_run(n))
+    t_long = best_of(make_run(3 * n))
+    return max(t_long - t_short, 0.0) / (2 * n) * 1000.0
 
 
 def main():
