@@ -195,6 +195,38 @@ def _shiftwin_sampled(x: jnp.ndarray, offsets: jnp.ndarray, kh: int, kw: int,
     return jnp.stack(sampled, axis=3)                    # [B,Ho,Wo,T,C]
 
 
+@jax.custom_vjp
+def _pallas_guarded(x, offsets, kernel):
+    """Tile-resident Pallas DCN for in-window offsets (floor in [-R, R]),
+    exact ``lax.cond`` fallback to the patch-gather formulation outside —
+    the same guarantee structure as ``shiftwin``.  Backward routes
+    through the exact patch formulation (the Pallas kernel is
+    forward-only), so training through this impl stays exact."""
+    from .pallas.deform import R, deform_conv_pallas
+    off = offsets.reshape(offsets.shape[:3] + (-1, 2))
+    io = jnp.floor(off).astype(jnp.int32)
+    in_win = (jnp.min(io) >= -R) & (jnp.max(io) <= R)
+    return jax.lax.cond(
+        in_win,
+        lambda: deform_conv_pallas(x, offsets, kernel),
+        lambda: deform_conv2d(x, offsets, kernel, 1, 1, impl="patch"))
+
+
+def _pallas_guarded_fwd(x, offsets, kernel):
+    return _pallas_guarded(x, offsets, kernel), (x, offsets, kernel)
+
+
+def _pallas_guarded_bwd(res, g):
+    x, offsets, kernel = res
+    _, vjp = jax.vjp(
+        lambda a, b, c: deform_conv2d(a, b, c, 1, 1, impl="patch"),
+        x, offsets, kernel)
+    return vjp(g)
+
+
+_pallas_guarded.defvjp(_pallas_guarded_fwd, _pallas_guarded_bwd)
+
+
 def deform_conv2d(x: jnp.ndarray, offsets: jnp.ndarray, kernel: jnp.ndarray,
                   stride: int = 1, dilation: int = 1,
                   impl: str = "auto", shift_r: int = 2) -> jnp.ndarray:
@@ -226,10 +258,18 @@ def deform_conv2d(x: jnp.ndarray, offsets: jnp.ndarray, kernel: jnp.ndarray,
     bo, ho, wo, _ = offsets.shape
     if impl == "auto":
         impl = os.environ.get("SIAMMOT_DCN_IMPL", "patch")
-    if impl not in ("gather4", "patch", "shiftwin"):
+    if impl not in ("gather4", "patch", "shiftwin", "pallas"):
         raise ValueError(
             f"unknown DCN impl {impl!r} (from SIAMMOT_DCN_IMPL?); "
-            "expected one of 'gather4', 'patch', 'shiftwin'")
+            "expected one of 'gather4', 'patch', 'shiftwin', 'pallas'")
+    if impl == "pallas" and not (kh == kw == 3 and stride == 1
+                                 and dilation == 1):
+        impl = "patch"      # kernel covers the production DCN geometry
+    if impl == "pallas" and c % 128 != 0 and \
+            jax.default_backend() in ("tpu", "axon"):
+        impl = "patch"      # hardware DMA wants 128-multiple lanes
+    if impl == "pallas":
+        return _pallas_guarded(x, offsets, kernel)
 
     base_y = jnp.arange(ho) * stride - pad
     base_x = jnp.arange(wo) * stride - pad

@@ -145,3 +145,43 @@ def test_shiftwin_gradients_match(rng):
             x, off, k)
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_impl_matches_gather4(rng):
+    """Pallas tile-resident kernel (interpret mode off-TPU) equals the
+    4-corner reference on the fast path, through the lax.cond fallback
+    for out-of-window offsets, and at image borders (zero padding must
+    reproduce the oob zero-weight convention)."""
+    for (hh, ww, cc, co, scale) in [
+            (9, 11, 8, 16, 1.4),    # fast path incl. borders, odd sizes
+            (16, 8, 4, 4, 0.9),     # multiple row blocks
+            (9, 11, 8, 16, 6.0),    # fallback (offsets outside window)
+    ]:
+        x = jnp.asarray(rng.randn(2, hh, ww, cc).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, cc, co).astype(np.float32))
+        off = jnp.asarray(
+            (rng.randn(2, hh, ww, 18) * scale).astype(np.float32))
+        a = deform_conv2d(x, off, k, impl="gather4")
+        b = jax.jit(lambda x, off, k: deform_conv2d(
+            x, off, k, impl="pallas"))(x, off, k)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_gradients_match(rng):
+    """impl='pallas' backward routes through the exact patch formulation
+    (custom_vjp), so training through it equals the reference."""
+    x = jnp.asarray(rng.randn(1, 7, 9, 4).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 4, 4).astype(np.float32))
+    off = jnp.asarray((rng.randn(1, 7, 9, 18) * 1.2).astype(np.float32))
+
+    def loss(impl, x, off, k):
+        return jnp.sum(deform_conv2d(x, off, k, impl=impl) ** 2)
+
+    for argnum in (0, 1, 2):
+        ga = jax.grad(lambda *a: loss("gather4", *a), argnums=argnum)(
+            x, off, k)
+        gb = jax.grad(lambda *a: loss("pallas", *a), argnums=argnum)(
+            x, off, k)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-4, atol=1e-4)

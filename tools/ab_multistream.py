@@ -69,8 +69,16 @@ def main():
                     default="150,120,90,75,60,45,30,20")
     ap.add_argument("--n-streams", type=int, default=4)
     ap.add_argument("--work", default="/tmp/ab_ms")
+    ap.add_argument("--min-size", type=int, default=384,
+                    help="INPUT.MIN_SIZE_TEST; keep at the video's native "
+                         "min side so the tunnel upload (the dev-setup "
+                         "bottleneck) stays small")
     args = ap.parse_args()
     lengths = [int(x) for x in args.lengths.split(",")]
+    # arrival order must NOT be length-sorted or pack=0 degenerates to
+    # the packed schedule (the whole point of the A/B)
+    import random
+    random.Random(7).shuffle(lengths)
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -81,6 +89,7 @@ def main():
     from siammot_tpu.models.siammot import SiamMOT
 
     cfg = get_cfg()
+    cfg.merge_from_list(["INPUT.MIN_SIZE_TEST", str(args.min_size)])
     cfg.freeze()
     model = SiamMOT(cfg)
     samples = build_truncated(args.root, lengths, args.work)
@@ -98,6 +107,16 @@ def main():
         return do_inference_multistream(cfg, model, params, samples,
                                         dataset_root=args.work,
                                         n_streams=args.n_streams)
+
+    def sched_steps(packed):
+        order = sorted(lengths, reverse=True) if packed else lengths
+        waves = [order[i:i + args.n_streams]
+                 for i in range(0, len(order), args.n_streams)]
+        return sum(max(wv) for wv in waves)
+
+    print(f"arrival order {lengths}; scheduled steps: "
+          f"packed={sched_steps(True)} unpacked={sched_steps(False)}",
+          flush=True)
 
     # warm: compile the batched step once outside the timed runs
     os.environ.update(configs[0][1])

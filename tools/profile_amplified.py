@@ -96,9 +96,15 @@ def amp_time(fn, *args, perturb=None, n=N_AMP, reps=3):
 
 
 def main():
+    import argparse
+
     from siammot_tpu.configs.defaults import get_cfg
     from siammot_tpu.models.siammot import SiamMOT
     from stage_defs import build_stages
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--occupancy", type=int, default=38)
+    ns = ap.parse_args()
 
     cfg = get_cfg()
     cfg.freeze()
@@ -106,7 +112,9 @@ def main():
     h, w = 736, 1280
     params = model.init_params(jax.random.PRNGKey(0), (h, w))
 
-    stages, extras = build_stages(model, params, h, w)
+    stages, extras = build_stages(model, params, h, w,
+                                  occupancy=ns.occupancy)
+    print(f"occupancy {ns.occupancy}/{model.max_tracks}")
     image_u8, state = extras["image_u8"], extras["state"]
 
     rows = []

@@ -59,6 +59,9 @@ def main():
                     help="comma list stage=ms overriding measurement")
     ap.add_argument("--no-measure", action="store_true",
                     help="cost-analysis only (CPU-safe)")
+    ap.add_argument("--occupancy", type=int, default=38,
+                    help="live track slots (bench-realistic default 38; "
+                         "0 = empty tracker)")
     args = ap.parse_args()
     overrides = dict(kv.split("=") for kv in args.times.split(",") if kv)
 
@@ -73,8 +76,10 @@ def main():
     h, w = 736, 1280
     params = model.init_params(jax.random.PRNGKey(0), (h, w))
 
-    stages, extras = build_stages(model, params, h, w)
+    stages, extras = build_stages(model, params, h, w,
+                                  occupancy=args.occupancy)
 
+    print(f"occupancy {args.occupancy}/{model.max_tracks}")
     print(f"{'stage':22s} {'ms':>8s} {'GFLOP':>8s} {'TF/s':>7s} "
           f"{'%MXU':>6s} {'GB':>7s} {'GB/s':>7s} {'%HBM':>6s} "
           f"{'bound':>8s} {'x-over':>7s}")
