@@ -20,6 +20,7 @@ Invalid slots ride along as masked lanes; no host sync anywhere.
 from __future__ import annotations
 
 import math
+import os
 
 import flax.linen as nn
 import flax.struct
@@ -171,7 +172,16 @@ class EMMPredictor(nn.Module):
         if (valid is not None and self.use_pallas
                 and s * s * c * 4 * 6 <= 10 * 2**20
                 and jax.default_backend() in ("tpu", "axon")):
-            from ..ops.pallas.predictor import emm_predictor_pallas
+            from ..ops.pallas.predictor import (emm_predictor_pallas,
+                                                emm_predictor_pallas_blocked)
+            # slot-block batching: B slots per program -> B x larger tap
+            # matmuls (SIAMMOT_PREDICTOR_BLOCK=0 keeps per-slot; A/B via
+            # SIAMMOT_BENCH_OPTS is not needed — env read at trace time)
+            blk = int(os.environ.get("SIAMMOT_PREDICTOR_BLOCK", "0"))
+            if blk > 1 and x.shape[0] % blk == 0 \
+                    and s * s * c * 4 * 6 * blk <= 10 * 2**20:
+                return emm_predictor_pallas_blocked(
+                    x, valid, self.params_tree(), block=blk)
             return emm_predictor_pallas(x, valid, self.params_tree())
         cls_x = nn.relu(self.cls_tower_gn(self.cls_tower_conv(x)))
         reg_x = nn.relu(self.reg_tower_gn(self.reg_tower_conv(x)))

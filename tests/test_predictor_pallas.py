@@ -127,3 +127,23 @@ def test_masked_kernels_under_vmap(rng):
         want = xcorr_depthwise_pallas(s[i], t[i], valid[i], interpret=True)
         np.testing.assert_allclose(np.asarray(got[i]), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_blocked_predictor_matches_per_slot(rng):
+    """Slot-block kernel == per-slot kernel: mixed-valid block, all-dead
+    block, and the dead-lane-inside-live-block zero convention."""
+    from siammot_tpu.ops.pallas.predictor import \
+        emm_predictor_pallas_blocked
+    x, model, variables = _init(rng, k=8)
+    # block 0: lanes 0,2,3 live; block 1: all dead
+    valid = jnp.asarray([True, False, True, True,
+                         False, False, False, False])
+    want = emm_predictor_pallas(x, valid, variables["params"],
+                                interpret=True)
+    got = emm_predictor_pallas_blocked(x, valid, variables["params"],
+                                       block=4, interpret=True)
+    v = np.asarray(valid)
+    for g, w in zip(got, want):
+        g, w = np.asarray(g), np.asarray(w)
+        np.testing.assert_allclose(g[v], w[v], rtol=1e-4, atol=1e-4)
+        assert not np.any(g[~v]), "dead lanes must emit zeros"
