@@ -144,7 +144,7 @@ def build_stages(model, params, h=736, w=1280, occupancy=0):
 
     def refine(t_cl, t_bd, tb, tc, labels, valid):
         # _refine_tracks (models/siammot.py forward_inference)
-        from siammot_tpu.core import box_ops
+        from siammot_tpu.core import boxes as box_ops
         t_prob = jax.nn.softmax(t_cl, axis=-1)
         lab = jnp.clip(labels, 0, model.num_classes - 1)
         app = jnp.take_along_axis(t_prob, lab[:, None], axis=1)[:, 0]
