@@ -57,12 +57,22 @@ def main():
             times.append((time.perf_counter() - t0) / 8 * 1000)
         return (times[1] - times[0]) / 8
 
+    from siammot_tpu.ops.pallas.predictor import emm_predictor_pallas_blocked
+
     print(f"xla module (K={k}):      {timeit(lambda t: model.apply(variables, t)):7.3f} ms")
     for live in (128, 32, 8):
         valid = jnp.arange(k) < live
         ms = timeit(lambda t: emm_predictor_pallas(t, valid,
                                                    variables["params"]))
         print(f"pallas masked {live:3d}/128:  {ms:7.3f} ms")
+    # slot-block batching (SIAMMOT_PREDICTOR_BLOCK): B slots per program
+    # -> Bx larger tap matmuls; block 8 is the VMEM-gate ceiling in emm.py
+    for blk in (4, 8):
+        for live in (128, 32, 8):
+            valid = jnp.arange(k) < live
+            ms = timeit(lambda t: emm_predictor_pallas_blocked(
+                t, valid, variables["params"], block=blk))
+            print(f"pallas block{blk} {live:3d}/128: {ms:7.3f} ms")
 
 
 if __name__ == "__main__":
