@@ -37,7 +37,10 @@ def main():
     def looped(fn, n):
         def step(carry, _):
             cls_l, ctr_l, reg_l = fn(x + carry.astype(x.dtype))
-            return (jnp.sum(cls_l) + jnp.sum(ctr_l) + jnp.sum(reg_l)) * 1e-9, None
+            tot = (jnp.sum(cls_l.astype(jnp.float32))
+                   + jnp.sum(ctr_l.astype(jnp.float32))
+                   + jnp.sum(reg_l.astype(jnp.float32)))
+            return tot * jnp.float32(1e-9), None
 
         @jax.jit
         def f():

@@ -46,31 +46,41 @@ def main():
 
     h = -(-cfg.TPU.INPUT_HEIGHT // 32) * 32
     w = -(-cfg.TPU.INPUT_WIDTH // 32) * 32
-    b = 2 * cfg.SOLVER.VIDEO_CLIPS_PER_BATCH
+    accum = max(1, cfg.SOLVER.ACCUMULATION_STEPS)
+    # the fwd/bwd analysis jits below see ONE microbatch (the train step
+    # scans over accum microbatches — a full-batch forward_train at
+    # accum 8 would allocate 8x the activations and OOM at compile)
+    b = 2 * cfg.SOLVER.VIDEO_CLIPS_PER_BATCH // accum
     g = cfg.TPU.MAX_GT
 
     model = SiamMOT(cfg)
     params = model.init_params(jax.random.PRNGKey(0), (h, w))
     tx = make_optimizer(cfg, params)
     opt_state = tx.init(params)
-    step = build_train_step(model, tx, make_mesh(), image_size=(w, h))
+    step = build_train_step(model, tx, make_mesh(), image_size=(w, h),
+                            accum_steps=accum)
 
+    bf = b * accum                      # full per-step batch (all micros)
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
-    boxes = np.zeros((b, g, 4), np.float32)
-    boxes[..., 0] = rng.uniform(0, w - 80, (b, g))
-    boxes[..., 1] = rng.uniform(0, h - 80, (b, g))
-    boxes[..., 2] = boxes[..., 0] + rng.uniform(16, 80, (b, g))
-    boxes[..., 3] = boxes[..., 1] + rng.uniform(16, 80, (b, g))
-    ids = np.tile(np.arange(g, dtype=np.int32)[None], (b, 1))
-    ids += (np.arange(b, dtype=np.int32) // 2 * g)[:, None]
-    gt = Boxes(boxes=jnp.asarray(boxes),
-               scores=jnp.ones((b, g), jnp.float32),
-               ids=jnp.asarray(ids),
-               labels=jnp.ones((b, g), jnp.int32),
-               valid=jnp.ones((b, g), bool))
+    images_f = jnp.asarray(rng.rand(bf, h, w, 3).astype(np.float32))
+    boxes = np.zeros((bf, g, 4), np.float32)
+    boxes[..., 0] = rng.uniform(0, w - 80, (bf, g))
+    boxes[..., 1] = rng.uniform(0, h - 80, (bf, g))
+    boxes[..., 2] = boxes[..., 0] + rng.uniform(16, 80, (bf, g))
+    boxes[..., 3] = boxes[..., 1] + rng.uniform(16, 80, (bf, g))
+    ids = np.tile(np.arange(g, dtype=np.int32)[None], (bf, 1))
+    ids += (np.arange(bf, dtype=np.int32) // 2 * g)[:, None]
+    gt_f = Boxes(boxes=jnp.asarray(boxes),
+                 scores=jnp.ones((bf, g), jnp.float32),
+                 ids=jnp.asarray(ids),
+                 labels=jnp.ones((bf, g), jnp.int32),
+                 valid=jnp.ones((bf, g), bool))
 
-    sizes = jnp.tile(jnp.asarray([[w, h]], jnp.int32), (b, 1))
+    sizes_f = jnp.tile(jnp.asarray([[w, h]], jnp.int32), (bf, 1))
+    # one microbatch's view for the fwd/bwd analysis jits
+    images = images_f[:b]
+    gt = jax.tree.map(lambda x: x[:b], gt_f)
+    sizes = sizes_f[:b]
     key = jax.random.PRNGKey(1)
 
     # --- stage split: forward-only loss vs value_and_grad (fwd+bwd) ---
@@ -102,8 +112,8 @@ def main():
     print("loss terms:", {k2: round(float(v), 4)
                           for k2, v in losses.items()})
     t0 = time.time()
-    params, opt_state, metrics = step(params, opt_state, images, gt, sizes,
-                                      key)
+    params, opt_state, metrics = step(params, opt_state, images_f, gt_f,
+                                      sizes_f, key)
     loss0 = float(metrics["loss"])  # force (compile + first run)
     print(f"compile+first step: {time.time() - t0:.1f}s  loss {loss0:.4f}")
 
@@ -111,15 +121,16 @@ def main():
     for i in range(args.iters):
         key, k = jax.random.split(key)
         t0 = time.time()
-        params, opt_state, metrics = step(params, opt_state, images, gt,
-                                          sizes, k)
+        params, opt_state, metrics = step(params, opt_state, images_f, gt_f,
+                                          sizes_f, k)
         _ = float(metrics["loss"])  # sync (block_until_ready unreliable on axon)
         times.append(time.time() - t0)
     times = np.asarray(times)
-    fps = b / float(np.median(times))
+    fps = bf / float(np.median(times))
     print(f"step: median {np.median(times)*1e3:.1f} ms  "
           f"min {times.min()*1e3:.1f} ms  "
-          f"({fps:.1f} train frames/s at batch {b}, {h}x{w})")
+          f"({fps:.1f} train frames/s at batch {bf} = {accum}x{b} micro, "
+          f"{h}x{w})")
 
 
 if __name__ == "__main__":
