@@ -59,8 +59,12 @@ def _kernel(x_ref, fly_ref, fy_ref, flx_ref, fx_ref, w_ref, out_ref,
         x_ref.at[pl.ds(i * rows_per_image + j * th, th + 2 * HALO)],
         tile, sem).wait()
 
-    px = jax.lax.broadcasted_iota(jnp.float32, (th, wo, 1), 1)
-    wiota = jax.lax.broadcasted_iota(jnp.float32, (th, wo, wp), 2)
+    # Mosaic's tpu.iota is integer-only: build int32 and cast (an f32
+    # broadcasted_iota fails MLIR verification on the real chip)
+    px = jax.lax.broadcasted_iota(jnp.int32, (th, wo, 1), 1
+                                  ).astype(jnp.float32)
+    wiota = jax.lax.broadcasted_iota(jnp.int32, (th, wo, wp), 2
+                                     ).astype(jnp.float32)
     dt = tile.dtype
     acc = jnp.zeros((th * wo, co), jnp.float32)
 
