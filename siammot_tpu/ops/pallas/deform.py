@@ -55,9 +55,11 @@ def _kernel(x_ref, fly_ref, fy_ref, flx_ref, fx_ref, w_ref, out_ref,
 
     # haloed input rows for this block: [th + 2*HALO, Wp, C] out of the
     # row-flattened [B*(Hp+2*HALO), Wp, C] padded input
-    pltpu.make_async_copy(
+    copy = pltpu.make_async_copy(
         x_ref.at[pl.ds(i * rows_per_image + j * th, th + 2 * HALO)],
-        tile, sem).wait()
+        tile, sem)
+    copy.start()
+    copy.wait()
 
     # Mosaic's tpu.iota is integer-only: build int32 and cast (an f32
     # broadcasted_iota fails MLIR verification on the real chip)

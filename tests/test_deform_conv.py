@@ -168,6 +168,32 @@ def test_pallas_impl_matches_gather4(rng):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_kernel_fast_path_directly(rng):
+    """Call the kernel WITHOUT the lax.cond guard, with offsets bounded
+    inside the shift window, so the tile-resident fast path itself is
+    verified.  (randn offsets at the sizes above exceed the window with
+    near-certainty, so the guarded test mostly exercises the fallback —
+    this one cannot: |offset| <= 1.5 < R.)  Regression for the .start()-
+    less DMA that returned uninitialized VMEM and faulted the chip."""
+    from siammot_tpu.ops.pallas.deform import deform_conv_pallas
+
+    for (hh, ww, cc, co) in [(9, 11, 8, 16), (23, 40, 16, 16)]:
+        x = jnp.asarray(rng.randn(2, hh, ww, cc).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, cc, co).astype(np.float32))
+        off = jnp.asarray(rng.uniform(
+            -1.5, 1.5, (2, hh, ww, 18)).astype(np.float32))
+        a = deform_conv2d(x, off, k, impl="gather4")
+        b = deform_conv_pallas(x, off, k)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+        # zero offsets == plain 3x3 convolution, the strongest oracle
+        z = jnp.zeros_like(off)
+        a0 = deform_conv2d(x, z, k, impl="gather4")
+        b0 = deform_conv_pallas(x, z, k)
+        np.testing.assert_allclose(np.asarray(a0), np.asarray(b0),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_pallas_gradients_match(rng):
     """impl='pallas' backward routes through the exact patch formulation
     (custom_vjp), so training through it equals the reference."""
