@@ -17,9 +17,9 @@ case "$1" in
     LATEST=$(ls -d "$DIR"/model_* 2>/dev/null | sed 's/.*model_//' | sort -n | tail -1)
     [ -n "$LATEST" ] || { echo "no checkpoint under $DIR"; exit 1; }
     mkdir -p "$ARCH"
-    rm -f "$ARCH"/scale25k_*.tar.zst
-    tar -C "$(dirname "$DIR")" --zstd --ignore-failed-read -cf \
-        "$ARCH/scale25k_${LATEST}.tar.zst" \
+    rm -f "$ARCH"/scale25k_*.tar.gz
+    tar -C "$(dirname "$DIR")" -z --ignore-failed-read -cf \
+        "$ARCH/scale25k_${LATEST}.tar.gz" \
         "$(basename "$DIR")/model_${LATEST}" \
         "$(basename "$DIR")/log.txt" \
         "$(basename "$DIR")/config.yaml"
@@ -29,10 +29,10 @@ case "$1" in
     if [ -d "$DIR" ] && ls "$DIR"/model_* >/dev/null 2>&1; then
       echo "ckpts already present; not touching"; exit 0
     fi
-    T=$(ls "$ARCH"/scale25k_*.tar.zst 2>/dev/null | tail -1)
+    T=$(ls "$ARCH"/scale25k_*.tar.gz 2>/dev/null | tail -1)
     [ -n "$T" ] || { echo "no archive to restore"; exit 1; }
     mkdir -p "$(dirname "$DIR")"
-    tar -C "$(dirname "$DIR")" --zstd -xf "$T"
+    tar -C "$(dirname "$DIR")" -z -xf "$T"
     echo "restored $T -> $DIR"; ls "$DIR"
     ;;
   *) echo "usage: $0 archive|restore"; exit 2 ;;
