@@ -202,7 +202,24 @@ def _pallas_guarded(x, offsets, kernel):
     the same guarantee structure as ``shiftwin``.  Backward routes
     through the exact patch formulation (the Pallas kernel is
     forward-only), so training through this impl stays exact."""
-    from .pallas.deform import R, deform_conv_pallas
+    from .pallas.deform import HALO, R, deform_conv_pallas
+
+    # VMEM gate: one program keeps the [9,C,Co] tap weights, the haloed
+    # row tile, the output block, and ~3 response-sized f32 temporaries
+    # resident.  Measured Mosaic stack usage runs ~1.25x this estimate
+    # (f32 C=Co=512 hit 17.65M vs 14.3M estimated); past the 16M scoped
+    # limit route to the exact patch formulation instead.  In production
+    # the trunk is bf16 and every DLA/ResNet DCN stage fits; the f32
+    # trace (param init) and oversized experiments take the fallback.
+    b, h, w, c = x.shape
+    co = kernel.shape[-1]
+    th, wo, wp = 8, w, w + 2 * HALO
+    isz = jnp.dtype(x.dtype).itemsize
+    est = (isz * (9 * c * co + (th + 2 * HALO) * wp * c + th * wo * co)
+           + 4 * (3 * th * wo * c + th * wo * wp + th * wo * co))
+    if est * 1.25 > 15 * 2 ** 20:
+        return deform_conv2d(x, offsets, kernel, 1, 1, impl="patch")
+
     off = offsets.reshape(offsets.shape[:3] + (-1, 2))
     io = jnp.floor(off).astype(jnp.int32)
     in_win = (jnp.min(io) >= -R) & (jnp.max(io) <= R)
@@ -242,11 +259,13 @@ def deform_conv2d(x: jnp.ndarray, offsets: jnp.ndarray, kernel: jnp.ndarray,
         "patch" (single 2x2-patch gather per sample), "shiftwin"
         (gather-free static shift window of radius ``shift_r`` with a
         lax.cond fallback to "patch" for offsets outside the window —
-        still exact), or "auto" (environment override ``SIAMMOT_DCN_IMPL``
-        if set, else "patch" — measured on chip 2026-08-20: full-model
-        DLA-102-DCN runs 12.9 FPS with shiftwin vs 21.6 with the gather
-        formulations; the (2r+2)^2-maps-per-tap VPU cost dominates at
-        production shapes, so the shift window loses outside tiny C).
+        still exact), "pallas" (tile-resident Pallas kernel, same exact
+        guard/fallback structure), or "auto" (environment override
+        ``SIAMMOT_DCN_IMPL`` if set, else "pallas" — chip shootout:
+        full-model DLA-102-DCN runs 42.3 FPS pallas / 29.3 patch /
+        21.6 gather4 / 12.9 shiftwin, 2026-08-21; the kernel falls back
+        to "patch" itself for non-3x3/stride/dilation geometry,
+        non-128-multiple channels, or VMEM-exceeding shapes).
       shift_r: shift-window radius (exact-fast-path coverage: every
         offset's integer part in [-r, r]); cost per tap grows (2r+2)^2.
 
@@ -257,7 +276,7 @@ def deform_conv2d(x: jnp.ndarray, offsets: jnp.ndarray, kernel: jnp.ndarray,
     pad = dilation * (kh - 1) // 2
     bo, ho, wo, _ = offsets.shape
     if impl == "auto":
-        impl = os.environ.get("SIAMMOT_DCN_IMPL", "patch")
+        impl = os.environ.get("SIAMMOT_DCN_IMPL", "pallas")
     if impl not in ("gather4", "patch", "shiftwin", "pallas"):
         raise ValueError(
             f"unknown DCN impl {impl!r} (from SIAMMOT_DCN_IMPL?); "
